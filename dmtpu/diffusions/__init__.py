@@ -1,0 +1,22 @@
+"""Diffusion algorithm layer: schedules, samplers, guidance.
+
+Public surface mirrors the reference (reference: diffusions/__init__.py:1-10).
+"""
+from dmtpu.diffusions.schedule import get_beta_schedule, get_respaced_seq
+from dmtpu.diffusions.ddpm import DDPM, DDPMCFG
+from dmtpu.diffusions.ddim import DDIM, DDIMCFG
+from dmtpu.diffusions.ddpm_ip import DDPM_IP
+from dmtpu.diffusions.euler import EulerSampler
+from dmtpu.diffusions.heun import HeunSampler
+
+__all__ = [
+    "get_beta_schedule",
+    "get_respaced_seq",
+    "DDPM",
+    "DDPMCFG",
+    "DDIM",
+    "DDIMCFG",
+    "DDPM_IP",
+    "EulerSampler",
+    "HeunSampler",
+]

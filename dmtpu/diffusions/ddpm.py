@@ -1,0 +1,459 @@
+"""DDPM: forward/reverse diffusion math and the ancestral sampler.
+
+TPU-native design
+-----------------
+The reference implementation (reference: diffusions/ddpm.py) drives sampling
+with a host-side Python loop over scalar timesteps, one model call per
+iteration.  Here the whole reverse process is a single ``jax.lax.scan`` over a
+precomputed *tape* of per-step coefficients: every scalar the reference
+computes per step (posterior mean coefficients, variances, log-variance
+bounds, ...) is computed **once, on host, in float64** and stacked into [S]
+arrays in sampling order.  The scan body makes one (batched) model call and a
+handful of fused element-wise ops — XLA compiles the entire S-step loop into
+one executable with no host synchronisation.
+
+The model seam is kept from the reference (reference: diffusions/ddpm.py:276):
+``model_fn(xt, t_batch, **model_kwargs) -> model_output`` where trailing
+channels beyond ``xt``'s channel count are a learned variance
+(reference: diffusions/ddpm.py:185-186).  Images are **channels-last (NHWC)**
+throughout — the natural TPU layout.
+
+Classes
+-------
+- ``DDPM``     — q/p math, losses, ancestral sampling  (reference: diffusions/ddpm.py:14-290)
+- ``DDPMCFG``  — classifier-free guidance sampler      (reference: diffusions/ddpm.py:293-368);
+                 the reference's two model calls per step become ONE batched
+                 call on ``concat([x, x])`` (the DiT ``forward_with_cfg``
+                 trick, reference: models/dit/model.py:254-270).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmtpu.diffusions.schedule import get_beta_schedule, get_respaced_seq
+
+Array = jax.Array
+ModelFn = Callable[..., Array]
+
+_OBJECTIVES = ("pred_eps", "pred_x0", "pred_v")
+_VAR_TYPES = ("fixed_small", "fixed_large", "learned_range")
+
+
+def _bcast(coef: Array, ndim: int) -> Array:
+    """Broadcast a [B] (or scalar) coefficient against an ndim-rank tensor."""
+    coef = jnp.asarray(coef, jnp.float32)
+    return coef.reshape(coef.shape + (1,) * (ndim - coef.ndim))
+
+
+class DDPM:
+    """Denoising Diffusion Probabilistic Models (functional, jit-friendly).
+
+    All schedule state is host-side float64 numpy; methods build pure JAX
+    computations suitable for ``jax.jit`` / ``pjit``.
+    """
+
+    def __init__(
+        self,
+        total_steps: int = 1000,
+        beta_schedule: str = "linear",
+        beta_start: float = 0.0001,
+        beta_end: float = 0.02,
+        betas: Optional[np.ndarray] = None,
+        objective: str = "pred_eps",
+        var_type: str = "fixed_large",
+        clip_denoised: bool = True,
+        respace_type: Optional[str] = None,
+        respace_steps: int = 100,
+        respaced_seq: Optional[np.ndarray] = None,
+        **_: Any,
+    ):
+        if objective not in _OBJECTIVES:
+            raise ValueError(f"Invalid objective: {objective}")
+        if var_type not in _VAR_TYPES:
+            raise ValueError(f"Invalid var_type: {var_type}")
+
+        self.total_steps = int(total_steps)
+        self.objective = objective
+        self.var_type = var_type
+        self.clip_denoised = bool(clip_denoised)
+
+        if betas is None:
+            betas = get_beta_schedule(
+                total_steps=total_steps,
+                beta_schedule=beta_schedule,
+                beta_start=beta_start,
+                beta_end=beta_end,
+            )
+        betas = np.asarray(betas, dtype=np.float64)
+        assert betas.shape == (self.total_steps,)
+        # float64 on host; float32 copies are what device code gathers from.
+        self.alphas_cumprod = np.cumprod(1.0 - betas, axis=0)
+        self._ac_f32 = self.alphas_cumprod.astype(np.float32)
+
+        if respaced_seq is None:
+            respaced_seq = get_respaced_seq(
+                total_steps=total_steps,
+                respace_type=respace_type,
+                respace_steps=respace_steps,
+            )
+        self.respaced_seq = np.asarray(respaced_seq, dtype=np.int64)
+        assert self.respaced_seq.ndim == 1
+
+    # ------------------------------------------------------------------
+    # respacing
+    # ------------------------------------------------------------------
+    def set_respaced_seq(self, respace_type: str = "uniform", respace_steps: int = 100):
+        self.respaced_seq = get_respaced_seq(
+            total_steps=self.total_steps,
+            respace_type=respace_type,
+            respace_steps=respace_steps,
+        )
+
+    # ------------------------------------------------------------------
+    # per-element-t math (t: int array [B] or scalar), used in training
+    # ------------------------------------------------------------------
+    def _gather(self, t: Array, ndim: int) -> Array:
+        """alphas_cumprod[t] as float32, broadcastable to rank ``ndim``."""
+        ac = jnp.asarray(self._ac_f32)[jnp.asarray(t)]
+        return _bcast(ac, ndim)
+
+    def pred_x0_from_eps(self, xt: Array, t: Array, eps: Array) -> Array:
+        ac = self._gather(t, xt.ndim)
+        return jnp.sqrt(1.0 / ac) * xt - jnp.sqrt(1.0 / ac - 1.0) * eps
+
+    def pred_eps_from_x0(self, xt: Array, t: Array, x0: Array) -> Array:
+        ac = self._gather(t, xt.ndim)
+        return (jnp.sqrt(1.0 / ac) * xt - x0) / jnp.sqrt(1.0 / ac - 1.0)
+
+    def pred_x0_from_v(self, xt: Array, t: Array, v: Array) -> Array:
+        ac = self._gather(t, xt.ndim)
+        return jnp.sqrt(ac) * xt - jnp.sqrt(1.0 - ac) * v
+
+    def pred_eps_from_v(self, xt: Array, t: Array, v: Array) -> Array:
+        ac = self._gather(t, xt.ndim)
+        return jnp.sqrt(1.0 - ac) * xt + jnp.sqrt(ac) * v
+
+    def get_v(self, x0: Array, eps: Array, t: Array) -> Array:
+        ac = self._gather(t, x0.ndim)
+        return jnp.sqrt(ac) * eps - jnp.sqrt(1.0 - ac) * x0
+
+    def diffuse(self, x0: Array, t: Array, eps: Array) -> Array:
+        """Sample from q(xt | x0).  (reference: diffusions/ddpm.py:152-172)"""
+        ac = self._gather(t, x0.ndim)
+        return jnp.sqrt(ac) * x0 + jnp.sqrt(1.0 - ac) * eps
+
+    # ------------------------------------------------------------------
+    # training loss (pure; caller supplies rng or eps)
+    # ------------------------------------------------------------------
+    def loss_func(
+        self,
+        model_fn: ModelFn,
+        x0: Array,
+        t: Array,
+        eps: Optional[Array] = None,
+        rng: Optional[Array] = None,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ) -> Array:
+        """Per-batch MSE loss on eps / x0 / v.  (reference: diffusions/ddpm.py:122-138)"""
+        model_kwargs = model_kwargs or {}
+        if eps is None:
+            eps = jax.random.normal(rng, x0.shape, x0.dtype)
+        xt = self.diffuse(x0, t, eps)
+        pred = model_fn(xt, t, **model_kwargs)
+        if self.objective == "pred_eps":
+            target = eps
+        elif self.objective == "pred_x0":
+            target = x0
+        else:  # pred_v
+            target = self.get_v(x0, eps, t)
+        return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
+
+    # ------------------------------------------------------------------
+    # sampler tape: per-step scalars, float64 on host -> float32 arrays
+    # ------------------------------------------------------------------
+    def sampler_tape(self) -> Dict[str, np.ndarray]:
+        """All per-step scalar coefficients, in sampling order (t descending).
+
+        Row i of the tape corresponds to the denoise step t=seq[-1-i] ->
+        t_prev (= seq one earlier, or -1).  Mirrors the scalar arithmetic in
+        reference: diffusions/ddpm.py:205-261, precomputed in float64.
+        """
+        seq = self.respaced_seq
+        ac = self.alphas_cumprod[seq]                       # [S]
+        ac_prev = np.concatenate([[1.0], ac[:-1]])          # ac[t_prev], 1.0 for t_prev=-1
+        alphas_t = ac / ac_prev
+        betas_t = 1.0 - alphas_t
+        var_small = betas_t * (1.0 - ac_prev) / (1.0 - ac)
+
+        tape = {
+            "t": seq.astype(np.int32),
+            "nonzero": (seq != 0).astype(np.float32),
+            "ac": ac,
+            "ac_prev": ac_prev,
+            "sqrt_ac": np.sqrt(ac),
+            "sqrt_1m_ac": np.sqrt(1.0 - ac),
+            "sqrt_recip_ac": np.sqrt(1.0 / ac),
+            "sqrt_recipm1_ac": np.sqrt(1.0 / ac - 1.0),
+            "sqrt_ac_prev": np.sqrt(ac_prev),
+            "sqrt_1m_ac_prev": np.sqrt(1.0 - ac_prev),
+            "mean_coef1": np.sqrt(ac_prev) * betas_t / (1.0 - ac),
+            "mean_coef2": np.sqrt(alphas_t) * (1.0 - ac_prev) / (1.0 - ac),
+            "var_small": var_small,
+            "var_large": betas_t,
+            "min_logvar": np.log(np.maximum(var_small, 1e-20)),
+            "max_logvar": np.log(np.maximum(betas_t, 1e-20)),
+        }
+        # sampling order: reverse, cast to f32 (ints stay int32)
+        out = {}
+        for k, v in tape.items():
+            v = v[::-1].copy()
+            out[k] = v if v.dtype == np.int32 else v.astype(np.float32)
+        return out
+
+    # ------------------------------------------------------------------
+    # single reverse step (pure)
+    # ------------------------------------------------------------------
+    def predict(
+        self,
+        model_output: Array,
+        xt: Array,
+        c: Dict[str, Array],
+        objective: Optional[str] = None,
+    ) -> Dict[str, Optional[Array]]:
+        """Predict x0 / eps from the model output at one step.
+
+        ``c`` is one tape row (dict of scalars).  Mirrors
+        reference: diffusions/ddpm.py:174-203.
+        """
+        objective = objective or self.objective
+        learned_var = None
+        ch = xt.shape[-1]
+        if model_output.shape[-1] > ch:
+            model_output, learned_var = jnp.split(model_output, [ch], axis=-1)
+        model_output = model_output.astype(jnp.float32)
+
+        if objective == "pred_eps":
+            pred_x0 = c["sqrt_recip_ac"] * xt - c["sqrt_recipm1_ac"] * model_output
+        elif objective == "pred_x0":
+            pred_x0 = model_output
+        elif objective == "pred_v":
+            pred_x0 = c["sqrt_ac"] * xt - c["sqrt_1m_ac"] * model_output
+        else:
+            raise ValueError(f"Invalid objective: {objective}")
+        if self.clip_denoised:
+            pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
+        pred_eps = (c["sqrt_recip_ac"] * xt - pred_x0) / c["sqrt_recipm1_ac"]
+        return {"pred_x0": pred_x0, "pred_eps": pred_eps, "learned_var": learned_var}
+
+    def denoise_step(
+        self,
+        model_output: Array,
+        xt: Array,
+        c: Dict[str, Array],
+        rng: Array,
+        objective: Optional[str] = None,
+    ) -> Dict[str, Array]:
+        """One ancestral step p_theta(x_{t-1} | x_t).
+
+        (reference: diffusions/ddpm.py:205-261; the reference's ``t == 0``
+        branches become multiplies by the precomputed ``nonzero`` mask.)
+        """
+        p = self.predict(model_output, xt, c, objective=objective)
+        pred_x0, pred_eps, learned_var = p["pred_x0"], p["pred_eps"], p["learned_var"]
+
+        mean = c["mean_coef1"] * pred_x0 + c["mean_coef2"] * xt
+
+        if self.var_type == "fixed_small":
+            var = c["var_small"]
+            std = jnp.sqrt(var)
+        elif self.var_type == "fixed_large":
+            var = c["var_large"]
+            std = jnp.sqrt(var)
+        elif self.var_type == "learned_range":
+            if learned_var is None:
+                raise ValueError("var_type='learned_range' requires extra model output channels")
+            frac = (learned_var.astype(jnp.float32) + 1.0) / 2.0  # [-1,1] -> [0,1]
+            logvar = frac * c["max_logvar"] + (1.0 - frac) * c["min_logvar"]
+            var = jnp.exp(logvar)
+            std = jnp.exp(0.5 * logvar)
+        else:
+            raise ValueError(f"Invalid var_type: {self.var_type}")
+
+        nz = c["nonzero"]
+        reverse_eps = jax.random.normal(rng, xt.shape, jnp.float32)
+        sample = mean + nz * std * reverse_eps
+        return {
+            "sample": sample,
+            "mean": mean,
+            "var": var * nz,
+            "pred_x0": pred_x0,
+            "pred_eps": pred_eps,
+            "reverse_eps": reverse_eps,
+        }
+
+    # Guidance hook seam; BaseGuidance overrides this.  (reference:
+    # diffusions/guidance/base.py:74-142)
+    def apply_guidance(
+        self, out: Dict[str, Array], xt: Array, c: Dict[str, Array], rng: Array
+    ) -> Dict[str, Array]:
+        return out
+
+    # ------------------------------------------------------------------
+    # the compiled sampling loop
+    # ------------------------------------------------------------------
+    def _model_step(
+        self,
+        model_fn: ModelFn,
+        xt: Array,
+        c: Dict[str, Array],
+        rng: Array,
+        model_kwargs: Dict[str, Any],
+    ) -> Dict[str, Array]:
+        """model call + denoise for one tape row.  Subclasses (CFG) override."""
+        t_batch = jnp.full((xt.shape[0],), c["t"], dtype=jnp.int32)
+        model_output = model_fn(xt, t_batch, **model_kwargs)
+        return self.denoise_step(model_output, xt, c, rng)
+
+    def sample_loop(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        collect: Sequence[str] = (),
+        start_step: int = 0,
+        num_steps: Optional[int] = None,
+    ) -> Tuple[Array, Dict[str, Array]]:
+        """Run the full reverse process as one ``lax.scan``.
+
+        Args:
+            model_fn: ``model_fn(xt, t_batch, **model_kwargs) -> output``.
+            init_noise: [B, H, W, C] float32 starting state (x_T, or x_t for
+                SDEdit-style partial denoising with ``start_step``).
+            rng: PRNG key consumed for all reverse noise.
+            collect: per-step output keys to stack and return (e.g.
+                ``('sample', 'pred_x0')`` for denoise/progressive modes).
+            start_step: tape row to start at (0 = from x_T; larger values
+                skip high-noise steps — SDEdit semantics,
+                reference: scripts/sample_sdedit.py:141-157).
+            num_steps: number of tape rows to run (default: to the end).
+
+        Returns:
+            (final sample, dict of stacked per-step arrays for ``collect``).
+        """
+        model_kwargs = model_kwargs or {}
+        tape = {k: jnp.asarray(v) for k, v in self.sampler_tape().items()}
+        S = tape["t"].shape[0]
+        stop = S if num_steps is None else min(S, start_step + num_steps)
+        tape = {k: v[start_step:stop] for k, v in tape.items()}
+        n = stop - start_step
+        keys = jax.random.split(rng, 2 * n).reshape(n, 2, -1)
+
+        def body(x, row):
+            c, key = row
+            out = self._model_step(model_fn, x, c, key[0], model_kwargs)
+            out = self.apply_guidance(out, x, c, key[1])
+            ys = {k: out[k] for k in collect}
+            return out["sample"], ys
+
+        final, ys = jax.lax.scan(body, init_noise.astype(jnp.float32), (tape, keys))
+        return final, ys
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ) -> Array:
+        """Final-sample-only convenience wrapper.  (reference: diffusions/ddpm.py:283-290)"""
+        final, _ = self.sample_loop(model_fn, init_noise, rng, model_kwargs, **kwargs)
+        return final
+
+
+class DDPMCFG(DDPM):
+    """DDPM with classifier-free guidance.
+
+    ``guidance_scale`` uses the classifier-guidance-paper convention ``s``
+    (s=0 uncond, s=1 plain conditional, s>1 guided), matching
+    reference: diffusions/ddpm.py:293-360.
+
+    The conditional and unconditional branches run as ONE model call on a
+    doubled batch — twice the MXU work per call, half the launches, and the
+    two branches share all activation-memory traffic.  ``uncond_conditioning``
+    must be an array pytree stackable with the conditional one (e.g. a null
+    class index, or empty-prompt embeddings).
+    """
+
+    def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y", *args: Any, **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.guidance_scale = float(guidance_scale)
+        self.cond_kwarg = cond_kwarg
+        self._uncond_conditioning: Any = None
+
+    def _cfg_model_output(
+        self,
+        model_fn: ModelFn,
+        xt: Array,
+        c: Dict[str, Array],
+        model_kwargs: Dict[str, Any],
+    ) -> Tuple[Array, Array]:
+        """Returns (combined pred_eps, cond model output) for one step."""
+        if self.cond_kwarg not in model_kwargs:
+            raise ValueError(f"Condition argument `{self.cond_kwarg}` not found in model_kwargs.")
+        cond = model_kwargs[self.cond_kwarg]
+        uncond = self._uncond_conditioning
+        b = xt.shape[0]
+        x2 = jnp.concatenate([xt, xt], axis=0)
+        t2 = jnp.full((2 * b,), c["t"], dtype=jnp.int32)
+        merged = dict(model_kwargs)
+        merged[self.cond_kwarg] = jax.tree.map(
+            lambda cc, uu: jnp.concatenate([cc, uu], axis=0), cond, uncond
+        )
+        out2 = model_fn(x2, t2, **merged)
+        out_cond, out_uncond = jnp.split(out2, 2, axis=0)
+        eps_cond = self.predict(out_cond, xt, c)["pred_eps"]
+        eps_uncond = self.predict(out_uncond, xt, c)["pred_eps"]
+        s = self.guidance_scale
+        pred_eps = (1.0 - s) * eps_uncond + s * eps_cond
+        return pred_eps, out_cond
+
+    def _model_step(self, model_fn, xt, c, rng, model_kwargs):
+        pred_eps, out_cond = self._cfg_model_output(model_fn, xt, c, model_kwargs)
+        if self.var_type == "learned_range":
+            # learned variance rides along from the conditional branch
+            # (reference: diffusions/ddpm.py:344-345)
+            ch = xt.shape[-1]
+            pred_eps = jnp.concatenate([pred_eps, out_cond[..., ch:]], axis=-1)
+        return self.denoise_step(pred_eps, xt, c, rng, objective="pred_eps")
+
+    def sample_loop(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        uncond_conditioning: Any = None,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ):
+        self._uncond_conditioning = uncond_conditioning
+        return super().sample_loop(model_fn, init_noise, rng, model_kwargs, **kwargs)
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        uncond_conditioning: Any = None,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ) -> Array:
+        final, _ = self.sample_loop(
+            model_fn, init_noise, rng, uncond_conditioning, model_kwargs, **kwargs
+        )
+        return final
