@@ -53,6 +53,13 @@ except ImportError:
 
 import pytest  # noqa: E402
 
+# Default the whole test suite onto the (8-device) CPU client: deterministic
+# f32 matmuls and no round-trips through the axon TPU tunnel.  Real-TPU
+# behaviour is exercised by bench.py and the verify drives instead.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 
 @pytest.fixture
 def rng():
