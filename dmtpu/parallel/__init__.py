@@ -1,0 +1,30 @@
+"""Parallelism layer: device meshes, shardings, compiled train steps."""
+from dmtpu.parallel.mesh import (
+    DATA_AXIS,
+    FSDP_AXIS,
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from dmtpu.parallel.train import (
+    TrainState,
+    make_diffusion_loss_fn,
+    make_train_step,
+    shard_train_state,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "FSDP_AXIS",
+    "make_mesh",
+    "batch_sharding",
+    "param_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "TrainState",
+    "make_train_step",
+    "make_diffusion_loss_fn",
+    "shard_train_state",
+]

@@ -1,0 +1,68 @@
+"""Device mesh and sharding helpers.
+
+Replaces the reference's Accelerate/NCCL DDP (reference: scripts/train_ddpm.py:54,166)
+with a ``jax.sharding.Mesh``: the batch is sharded over the ``data`` axis and
+parameters are either replicated or sharded over an optional ``fsdp`` axis
+(ZeRO-style), with XLA inserting the all-reduce/all-gather collectives over
+ICI.  Multi-host (DCN) uses the same mesh via ``jax.distributed.initialize``.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+FSDP_AXIS = "fsdp"
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    fsdp: int = 1,
+) -> Mesh:
+    """Build a (data, fsdp) mesh over the given (default: all) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % fsdp != 0:
+        raise ValueError(f"fsdp={fsdp} must divide device count {n}")
+    arr = np.asarray(devices).reshape(n // fsdp, fsdp)
+    return Mesh(arr, (DATA_AXIS, FSDP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch dim split over data (and fsdp, which also sees data)."""
+    return NamedSharding(mesh, P((DATA_AXIS, FSDP_AXIS)))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
+    """Per-leaf sharding: replicated, or largest-dim split over fsdp if >1.
+
+    Simple ZeRO-3-style rule: shard each parameter's largest axis over the
+    fsdp mesh axis when it divides evenly; otherwise replicate the leaf.
+    """
+    fsdp_size = mesh.shape[FSDP_AXIS]
+
+    def leaf_sharding(x):
+        if fsdp_size == 1 or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        dims = list(x.shape)
+        axis = int(np.argmax(dims))
+        if dims[axis] % fsdp_size == 0:
+            spec = [None] * x.ndim
+            spec[axis] = FSDP_AXIS
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(leaf_sharding, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a host batch with the data sharding."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
