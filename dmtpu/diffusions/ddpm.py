@@ -175,23 +175,25 @@ class DDPM:
     # ------------------------------------------------------------------
     # sampler tape: per-step scalars, float64 on host -> float32 arrays
     # ------------------------------------------------------------------
-    def sampler_tape(self) -> Dict[str, np.ndarray]:
-        """All per-step scalar coefficients, in sampling order (t descending).
+    def pair_tape(self, t: np.ndarray, t_prev: np.ndarray) -> Dict[str, np.ndarray]:
+        """Coefficient rows for arbitrary (t, t_prev) denoise pairs.
 
-        Row i of the tape corresponds to the denoise step t=seq[-1-i] ->
-        t_prev (= seq one earlier, or -1).  Mirrors the scalar arithmetic in
-        reference: diffusions/ddpm.py:205-261, precomputed in float64.
+        ``t_prev = -1`` means "to clean x0" (alphas_cumprod treated as 1).
+        All arithmetic float64 on host; arrays returned in the given order.
+        Used by ``sampler_tape`` (adjacent respaced pairs) and by RePaint's
+        non-monotone resampling tape (arbitrary pairs).
         """
-        seq = self.respaced_seq
-        ac = self.alphas_cumprod[seq]                       # [S]
-        ac_prev = np.concatenate([[1.0], ac[:-1]])          # ac[t_prev], 1.0 for t_prev=-1
+        t = np.asarray(t, np.int64)
+        t_prev = np.asarray(t_prev, np.int64)
+        ac = self.alphas_cumprod[t]
+        ac_prev = np.where(t_prev >= 0, self.alphas_cumprod[np.maximum(t_prev, 0)], 1.0)
         alphas_t = ac / ac_prev
         betas_t = 1.0 - alphas_t
         var_small = betas_t * (1.0 - ac_prev) / (1.0 - ac)
 
         tape = {
-            "t": seq.astype(np.int32),
-            "nonzero": (seq != 0).astype(np.float32),
+            "t": t.astype(np.int32),
+            "nonzero": (t != 0).astype(np.float32),
             "ac": ac,
             "ac_prev": ac_prev,
             "sqrt_ac": np.sqrt(ac),
@@ -207,12 +209,18 @@ class DDPM:
             "min_logvar": np.log(np.maximum(var_small, 1e-20)),
             "max_logvar": np.log(np.maximum(betas_t, 1e-20)),
         }
-        # sampling order: reverse, cast to f32 (ints stay int32)
-        out = {}
-        for k, v in tape.items():
-            v = v[::-1].copy()
-            out[k] = v if v.dtype == np.int32 else v.astype(np.float32)
-        return out
+        return {k: (v if v.dtype == np.int32 else v.astype(np.float32)) for k, v in tape.items()}
+
+    def sampler_tape(self) -> Dict[str, np.ndarray]:
+        """Per-step scalar coefficients, in sampling order (t descending).
+
+        Row i is the denoise step t=seq[-1-i] -> t_prev (= previous respaced
+        step, or -1).  Mirrors the scalar arithmetic of
+        reference: diffusions/ddpm.py:205-261, precomputed in float64.
+        """
+        seq = self.respaced_seq
+        seq_prev = np.concatenate([[-1], seq[:-1]])
+        return self.pair_tape(seq[::-1], seq_prev[::-1])
 
     # ------------------------------------------------------------------
     # single reverse step (pure)

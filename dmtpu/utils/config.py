@@ -112,6 +112,7 @@ _REGISTRY: Dict[str, str] = {
     "datasets.cifar10.CIFAR10": "dmtpu.data.cifar10.CIFAR10",
     "datasets.celebahq.CelebAHQ": "dmtpu.data.celebahq.CelebAHQ",
     "datasets.imagenet.ImageNet": "dmtpu.data.imagenet.ImageNet",
+    "datasets.synthetic.Synthetic": "dmtpu.data.datasets.Synthetic",
     # optimizers (torch -> optax factories)
     "torch.optim.Adam": "dmtpu.utils.optim.adam",
     "torch.optim.AdamW": "dmtpu.utils.optim.adamw",

@@ -15,8 +15,11 @@ def get_logger(
 ) -> logging.Logger:
     """(reference: utils/logger.py:8-37; non-main processes log at ERROR)"""
     logger = logging.getLogger(name)
-    if logger.hasHandlers():
+    # check THIS logger's handlers only: jax/absl attach handlers to the root
+    # logger, which would make hasHandlers() return True and skip setup
+    if logger.handlers:
         return logger
+    logger.propagate = False
     handlers: list[logging.Handler] = [logging.StreamHandler()]
     if is_main_process and log_file is not None:
         handlers.append(logging.FileHandler(log_file, file_mode))
@@ -31,8 +34,9 @@ def get_logger(
 
 
 def get_tb_writer(log_dir: str):
-    """TensorBoard writer; torch's implementation (CPU wheel is present)."""
-    from torch.utils.tensorboard import SummaryWriter
+    """TensorBoard writer (our dependency-free implementation — importing
+    torch.utils.tensorboard poisons the TPU remote-compile transport)."""
+    from dmtpu.utils.tensorboard_writer import SummaryWriter
 
     os.makedirs(log_dir, exist_ok=True)
     return SummaryWriter(log_dir)
