@@ -1,0 +1,67 @@
+"""Headline benchmark: DDIM-50 sampling throughput on the real chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Current flagship: this repo's 35.7M-param CIFAR-10 UNet
+(configs/ddpm_cifar10.yaml model), DDIM 50 steps, batch 128 — the
+reference's fidelity-speed benchmark config (reference: docs/Samplers.md).
+``vs_baseline`` divides by an A100 eager-PyTorch estimate for the same
+model/sampler/batch (~128 samples/s: ~20ms/forward at batch 128 x 50 NFE),
+per BASELINE.md's ">= A100 parity per v5e chip" target.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dmtpu.diffusions import DDIM  # noqa: E402
+from dmtpu.models import UNet  # noqa: E402
+
+A100_BASELINE_SAMPLES_PER_SEC = 128.0
+BATCH = 128
+STEPS = 50
+
+
+def main():
+    model = UNet()  # CIFAR-10 config: dim 128, mults (1,2,2,2), attn@16x16
+    sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=STEPS)
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,), jnp.int32)
+    )
+
+    @jax.jit
+    def sample(p, noise, key):
+        return sampler.sample(lambda x, t, **kw: model.apply(p, x, t, **kw), noise, key)
+
+    key = jax.random.PRNGKey(1)
+    noise = jax.random.normal(key, (BATCH, 32, 32, 3))
+    jax.block_until_ready(sample(params, noise, key))  # compile + warm
+
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = sample(params, noise, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    sps = BATCH / dt
+    print(json.dumps({
+        "metric": "DDIM-50 CIFAR10-UNet sampling throughput",
+        "value": round(sps, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
