@@ -1,0 +1,95 @@
+"""CLIP guidance: steer sampling toward a text prompt.
+
+The reference backprops through HF CLIP on the predicted x0 each step
+(reference: diffusions/guidance/clip_guidance.py:38-50), re-preprocessing
+uint8 images on host per step.  TPU-native version: the whole
+similarity-gradient is inside the compiled loop — differentiable resize
+(jax.image) + CLIP normalisation + FlaxCLIP forward, with the text embedding
+precomputed once.  Guidance delta on the posterior mean is
+``w * sqrt(1/ᾱt) * var * dL/d(pred_x0)`` exactly as the reference.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmtpu.diffusions.ddpm import Array
+from dmtpu.diffusions.guidance.base import BaseGuidance
+
+# OpenAI CLIP preprocessing constants
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class CLIPGuidance(BaseGuidance):
+    def __init__(
+        self,
+        guidance_weight: float = 1.0,
+        clip_pretrained: str = "openai/clip-vit-base-patch32",
+        clip_model: Any = None,
+        clip_params: Any = None,
+        tokenizer: Any = None,
+        image_size: int = 224,
+        **kwargs: Any,
+    ):
+        """Either pass a ready (clip_model, clip_params, tokenizer) triple, or
+        a local ``clip_pretrained`` path loadable by HF transformers (zero-
+        egress environments must point at a local checkout)."""
+        super().__init__(**kwargs)
+        self.guidance_weight = float(guidance_weight)
+        self.image_size = int(image_size)
+        if clip_model is None:
+            from transformers import CLIPTokenizer, FlaxCLIPModel
+
+            model = FlaxCLIPModel.from_pretrained(clip_pretrained)
+            clip_model, clip_params = model.module, model.params
+            tokenizer = CLIPTokenizer.from_pretrained(clip_pretrained)
+        self.clip_model = clip_model
+        self.clip_params = clip_params
+        self.tokenizer = tokenizer
+        self.text_embed: Optional[Array] = None
+
+    def set_text(self, text: str):
+        """Precompute the (normalised) text embedding once."""
+        tokens = self.tokenizer([text], return_tensors="np", padding=True)
+        feats = self.clip_model.apply(
+            {"params": self.clip_params},
+            input_ids=jnp.asarray(tokens["input_ids"]),
+            attention_mask=jnp.asarray(tokens["attention_mask"]),
+            method=self.clip_model.get_text_features
+            if hasattr(self.clip_model, "get_text_features") else None,
+        )
+        self.text_embed = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    def set_text_embed(self, text_embed: Array):
+        self.text_embed = text_embed / jnp.linalg.norm(text_embed, axis=-1, keepdims=True)
+
+    def _image_features(self, x0: Array) -> Array:
+        """Differentiable preprocessing + CLIP image tower.  x0 in [-1,1] NHWC."""
+        img = (x0 + 1.0) / 2.0
+        b, h, w, c = img.shape
+        img = jax.image.resize(img, (b, self.image_size, self.image_size, c), "bilinear")
+        img = (img - _CLIP_MEAN) / _CLIP_STD
+        # FlaxCLIP expects NCHW pixel_values
+        pixel_values = jnp.transpose(img, (0, 3, 1, 2))
+        feats = self.clip_model.apply(
+            {"params": self.clip_params},
+            pixel_values=pixel_values,
+            method=self.clip_model.get_image_features
+            if hasattr(self.clip_model, "get_image_features") else None,
+        )
+        return feats
+
+    def cond_fn_mean(self, out, xt, c, rng):
+        if self.text_embed is None:
+            raise RuntimeError("Please call `set_text()` before sampling.")
+
+        def similarity(x0):
+            feats = self._image_features(x0)
+            return jnp.sum(feats @ self.text_embed.T)
+
+        grad = jax.grad(similarity)(out["pred_x0"])
+        return self.guidance_weight * c["sqrt_recip_ac"] * out["var"] * grad
