@@ -1,0 +1,46 @@
+"""Per-architecture conversion entry points.
+
+Each takes the upstream torch state_dict (numpy values) and the target
+model's ``init`` output, returning a ready params tree.  All are thin
+wrappers over the structural matcher with arch-specific key filtering.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from dmtpu.convert.common import convert_by_structure
+
+
+def convert_pesser(state_dict: Dict[str, np.ndarray], init_params) -> Dict:
+    return convert_by_structure(state_dict, init_params)
+
+
+def convert_adm(state_dict: Dict[str, np.ndarray], init_params) -> Dict:
+    return convert_by_structure(state_dict, init_params)
+
+
+def convert_dit(state_dict: Dict[str, np.ndarray], init_params) -> Dict:
+    """DiT: the frozen sin/cos pos_embed buffer is recomputed, not loaded."""
+
+    def rename(k: str) -> Optional[str]:
+        if k == "pos_embed":
+            return None
+        return k
+
+    return convert_by_structure(state_dict, init_params, rename=rename)
+
+
+def convert_mdt(state_dict: Dict[str, np.ndarray], init_params) -> Dict:
+    """MDTv2: pos embeds are trainable; rel-pos index buffers are recomputed."""
+
+    def rename(k: str) -> Optional[str]:
+        if k.endswith("relative_position_index"):
+            return None
+        if k.endswith("pos_embed") or k == "mask_token":
+            # raw parameters (no weight/bias leaf): keep as-is
+            return k
+        return k
+
+    return convert_by_structure(state_dict, init_params, rename=rename)
