@@ -32,7 +32,8 @@ STEPS = 50
 
 
 def main():
-    model = UNet()  # CIFAR-10 config: dim 128, mults (1,2,2,2), attn@16x16
+    import jax.numpy as jnp_
+    model = UNet(dtype=jnp_.bfloat16)  # CIFAR-10 config; bf16 torso, f32 GN/softmax
     sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=STEPS)
 
     params = jax.jit(model.init)(
@@ -45,13 +46,15 @@ def main():
 
     key = jax.random.PRNGKey(1)
     noise = jax.random.normal(key, (BATCH, 32, 32, 3))
-    jax.block_until_ready(sample(params, noise, key))  # compile + warm
+    # warm-up; float() forces a host transfer — block_until_ready alone has
+    # been observed unreliable on the axon transport
+    float(sample(params, noise, key).sum())
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = sample(params, noise, jax.random.fold_in(key, i))
-    jax.block_until_ready(out)
+        float(out.sum())
     dt = (time.perf_counter() - t0) / reps
 
     sps = BATCH / dt

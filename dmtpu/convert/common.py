@@ -127,7 +127,8 @@ def convert_by_structure(
             if norm in index:
                 path = index[norm]
                 arr = tf(val)
-                want = np.shape(flat_target[path])
+                tgt = flat_target[path]
+                want = tuple(getattr(tgt, "shape", None) if hasattr(tgt, "shape") else np.shape(tgt))
                 if np.shape(arr) != tuple(want):
                     # try the un-transposed variant (e.g. square embeddings)
                     if np.shape(val) == tuple(want):

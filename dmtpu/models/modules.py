@@ -133,13 +133,15 @@ class SelfAttentionBlock(nn.Module):
     dim: int
     n_heads: int = 1
     groups: int = 32
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         assert c % self.n_heads == 0
         hd = c // self.n_heads
-        xn = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
+        xn = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
+                          name="norm")(x.astype(jnp.float32)).astype(x.dtype)
         tokens = xn.reshape(b, h * w, c)
         q = Dense(c, name="q")(tokens).reshape(b, h * w, self.n_heads, hd)
         k = Dense(c, name="k")(tokens).reshape(b, h * w, self.n_heads, hd)

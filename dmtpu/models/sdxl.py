@@ -1,0 +1,171 @@
+"""SDXL base: GeneralConditioner + bigger UNet + VAE, in Flax.
+
+Parity targets:
+  - GeneralConditioner (reference: models/sdxl/conditioner.py:62-179):
+    concatenates CLIP-L hidden + OpenCLIP-bigG penultimate+pooled + three
+    ConcatTimestepEmbedderND size/crop embeddings into ``crossattn``
+    (context) and ``vector`` (y for the UNet's 'sequential' adm path)
+  - ConcatTimestepEmbedderND (:341-367)
+  - StableDiffusionXL wrapper (reference: models/sdxl/stablediffusion.py:11-90)
+
+The UNet/VAE are the shared superset modules
+(``dmtpu.models.stablediffusion``); SDXL's yaml (weights/sdxl/sd_xl_base.yaml)
+instantiates them through the target registry.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmtpu.models.adm import timestep_embedding
+from dmtpu.models.stablediffusion import (
+    AutoencoderKL,
+    CLIPTextTransformer,
+    DiagonalGaussianDistribution,
+    SDUNetModel,
+)
+from dmtpu.models.stablediffusion.text_encoders import CLIP_TEXT_CONFIGS
+
+Array = jax.Array
+
+
+def concat_timestep_embedder_nd(x: Array, outdim: int) -> Array:
+    """Embed each scalar dim sinusoidally and concat.
+
+    (reference: models/sdxl/conditioner.py:341-367)
+    """
+    x = jnp.asarray(x)
+    if x.ndim == 1:
+        x = x[:, None]
+    b, dims = x.shape
+    emb = timestep_embedding(x.reshape(-1), outdim)
+    return emb.reshape(b, dims * outdim)
+
+
+class SDXLConditioner:
+    """The sd_xl_base conditioner: CLIP-L (hidden layer 11) + bigG
+    (penultimate + pooled) + 3 size/crop sinusoidal embedders.
+
+    Functional: ``__call__(params, tokens_l, tokens_g, sizes) -> (crossattn,
+    vector)`` where sizes = (original_size, crop_coords, target_size), each
+    [B, 2].
+    """
+
+    def __init__(self, embed_dim: int = 256, emb_models: Any = None, **_: Any):
+        # ``emb_models`` (the GeneralConditioner yaml list,
+        # weights/sdxl/sd_xl_base.yaml) is accepted for config parity; this
+        # class IS that standard 5-embedder composition.
+        if emb_models is not None:
+            for cfg in emb_models:
+                t = cfg.get("target", "")
+                if t.endswith("ConcatTimestepEmbedderND"):
+                    embed_dim = int(cfg.get("params", {}).get("outdim", embed_dim))
+        self.clip_l = CLIPTextTransformer(**CLIP_TEXT_CONFIGS["clip-vit-l"])
+        self.clip_g = CLIPTextTransformer(**CLIP_TEXT_CONFIGS["open-clip-vit-bigg"])
+        self.embed_dim = embed_dim
+
+    def init(self, rng: Array) -> Dict:
+        ids = jnp.zeros((1, 77), jnp.int32)
+        return {
+            "clip_l": self.clip_l.init(rng, ids, output_layer=-2),
+            "clip_g": self.clip_g.init(rng, ids, output_layer="penultimate", return_pooled=True),
+        }
+
+    def __call__(
+        self,
+        params: Dict,
+        tokens_l: Array,
+        tokens_g: Array,
+        original_size: Array,
+        crop_coords: Array,
+        target_size: Array,
+        force_zero_text: bool = False,
+    ) -> Tuple[Array, Array]:
+        # CLIP-L: hidden_states[11] (layer='hidden', layer_idx=11 in the yaml)
+        z_l = self.clip_l.apply(params["clip_l"], tokens_l, output_layer=-2)
+        # bigG: penultimate hidden + pooled-projected
+        z_g, pooled = self.clip_g.apply(params["clip_g"], tokens_g,
+                                        output_layer="penultimate", return_pooled=True)
+        if force_zero_text:
+            z_l, z_g, pooled = jnp.zeros_like(z_l), jnp.zeros_like(z_g), jnp.zeros_like(pooled)
+        # crossattn: feature-dim concat (KEY2CATDIM['crossattn']=2)
+        crossattn = jnp.concatenate([z_l, z_g], axis=-1)
+        # vector: pooled + 3 x ConcatTimestepEmbedderND(256), dim-1 concat
+        vec = jnp.concatenate(
+            [
+                pooled,
+                concat_timestep_embedder_nd(original_size, self.embed_dim),
+                concat_timestep_embedder_nd(crop_coords, self.embed_dim),
+                concat_timestep_embedder_nd(target_size, self.embed_dim),
+            ],
+            axis=-1,
+        )
+        return crossattn, vec
+
+    def get_unconditional_conditioning(
+        self, params, tokens_l, tokens_g, empty_tokens_l, empty_tokens_g,
+        original_size, crop_coords, target_size,
+    ):
+        """(reference: models/sdxl/conditioner.py:160-179) — uncond zeroes the
+        text embeddings (force_uc_zero_embeddings=['txt'] semantics)."""
+        c = self(params, tokens_l, tokens_g, original_size, crop_coords, target_size)
+        uc = self(params, empty_tokens_l, empty_tokens_g, original_size, crop_coords,
+                  target_size, force_zero_text=True)
+        return c, uc
+
+
+class StableDiffusionXL:
+    """Functional SDXL wrapper (reference: models/sdxl/stablediffusion.py:11-90)."""
+
+    def __init__(
+        self,
+        conditioner_config: Optional[Dict] = None,
+        vae_config: Optional[Dict] = None,
+        unet_config: Optional[Dict] = None,
+        scale_factor: float = 0.13025,
+        low_vram_shift_enabled: bool = False,
+        **_: Any,
+    ):
+        from dmtpu.utils.config import instantiate_from_config
+
+        self.scale_factor = float(scale_factor)
+        self.conditioner = (
+            instantiate_from_config(conditioner_config)
+            if conditioner_config and "target" in conditioner_config else SDXLConditioner()
+        )
+        self.vae: AutoencoderKL = (
+            instantiate_from_config(vae_config) if vae_config else AutoencoderKL()
+        )
+        self.unet: SDUNetModel = (
+            instantiate_from_config(unet_config) if unet_config else None
+        )
+        self.params: Optional[Dict] = None
+
+    def load_state_dict(self, state_dict: Dict, clip_l_sd=None, clip_g_sd=None):
+        from dmtpu.convert.sd import convert_sdxl_checkpoint
+
+        self.params = convert_sdxl_checkpoint(self, state_dict, clip_l_sd, clip_g_sd)
+        return self.params
+
+    def unet_forward(self, params, x, timesteps, context, y):
+        return self.unet.apply(params["unet"], x, timesteps, context=context, y=y)
+
+    def decode_latent(self, params, z: Array) -> Array:
+        return self.vae.apply(params["vae"], z / self.scale_factor, method=self.vae.decode)
+
+    def encode_latent(self, params, x: Array, rng: Array) -> Array:
+        moments = self.vae.apply(params["vae"], x, method=self.vae.encode_moments)
+        return self.scale_factor * DiagonalGaussianDistribution(moments).sample(rng)
+
+    def make_model_fn(self, params):
+        """model_fn(x, t, context=..., y=...) for the samplers; the CFG
+        ``cond_kwarg`` is the (context, y) pytree under key 'cond'."""
+
+        def model_fn(x, t, cond=None, **kw):
+            context, y = cond
+            return self.unet_forward(params, x, t, context, y)
+
+        return model_fn

@@ -1,0 +1,113 @@
+"""Stable Diffusion 1.5 / 2.1 latent text-to-image stack.
+
+``StableDiffusion`` composes the CLIP text encoder + AutoencoderKL + cross-
+attention UNet (reference: models/stablediffusion/stablediffusion.py:12-79)
+as a functional wrapper: modules are Flax, parameters live in one dict
+``{"unet":…, "vae":…, "text_encoder":…}`` produced by
+``dmtpu.convert.sd.convert_sd_checkpoint`` from the original CompVis .ckpt /
+.safetensors (the reference's ``first_stage_model.`` /
+``model.diffusion_model.`` key surgery, :73-79).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from dmtpu.models.stablediffusion.attention import SpatialTransformer
+from dmtpu.models.stablediffusion.autoencoder import (
+    AutoencoderKL,
+    Decoder,
+    DiagonalGaussianDistribution,
+    Encoder,
+)
+from dmtpu.models.stablediffusion.text_encoders import (
+    CLIPTextTransformer,
+    FrozenCLIPEmbedder,
+    FrozenOpenCLIPEmbedder,
+)
+from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+Array = jax.Array
+
+__all__ = [
+    "StableDiffusion",
+    "SDUNetModel",
+    "AutoencoderKL",
+    "Encoder",
+    "Decoder",
+    "DiagonalGaussianDistribution",
+    "SpatialTransformer",
+    "CLIPTextTransformer",
+    "FrozenCLIPEmbedder",
+    "FrozenOpenCLIPEmbedder",
+]
+
+
+class StableDiffusion:
+    """Functional SD wrapper instantiable from the reference weight YAMLs."""
+
+    def __init__(
+        self,
+        text_encoder_config: Optional[Dict] = None,
+        vae_config: Optional[Dict] = None,
+        unet_config: Optional[Dict] = None,
+        scale_factor: float = 0.18215,
+        low_vram_shift_enabled: bool = False,  # accepted for config parity
+        **_: Any,
+    ):
+        from dmtpu.utils.config import instantiate_from_config
+
+        self.scale_factor = float(scale_factor)
+        self.text_encoder = (
+            instantiate_from_config(text_encoder_config) if text_encoder_config else FrozenCLIPEmbedder()
+        )
+        self.vae: AutoencoderKL = (
+            instantiate_from_config(vae_config) if vae_config else AutoencoderKL()
+        )
+        self.unet: SDUNetModel = (
+            instantiate_from_config(unet_config) if unet_config else None
+        )
+        self.params: Optional[Dict] = None  # {"unet","vae","text_encoder"}
+
+    # --- loading -------------------------------------------------------
+    def load_state_dict(self, state_dict: Dict, text_encoder_sd: Optional[Dict] = None):
+        """Convert a CompVis-format checkpoint (numpy values) into params."""
+        from dmtpu.convert.sd import convert_sd_checkpoint
+
+        self.params = convert_sd_checkpoint(self, state_dict, text_encoder_sd)
+        return self.params
+
+    # --- functional pieces (explicit params for jit closures) ----------
+    def unet_forward(self, params: Dict, x: Array, timesteps: Array, context: Array) -> Array:
+        return self.unet.apply(params["unet"], x, timesteps, context=context)
+
+    def decode_latent(self, params: Dict, z: Array) -> Array:
+        z = z / self.scale_factor
+        return self.vae.apply(params["vae"], z, method=self.vae.decode)
+
+    def encode_latent(self, params: Dict, x: Array, rng: Array) -> Array:
+        moments = self.vae.apply(params["vae"], x, method=self.vae.encode_moments)
+        z = DiagonalGaussianDistribution(moments).sample(rng)
+        return self.scale_factor * z
+
+    def text_encoder_encode_tokens(self, params: Dict, input_ids: Array) -> Array:
+        return self.text_encoder.encode_tokens(params["text_encoder"], input_ids)
+
+    def text_encoder_encode(self, params: Dict, text: List[str]) -> Array:
+        ids = jnp.asarray(self.text_encoder.tokenize(text))
+        return self.text_encoder_encode_tokens(params, ids)
+
+    # --- model_fn seam for the samplers --------------------------------
+    def __call__(self, x: Array, timesteps: Array, text_embed: Array = None, params=None) -> Array:
+        assert params is not None and text_embed is not None
+        return self.unet_forward(params, x, timesteps, text_embed)
+
+    def make_model_fn(self, params: Dict):
+        """model_fn(x, t, text_embed=...) for DDIM/DDPM samplers."""
+
+        def model_fn(x, t, text_embed=None, **kw):
+            return self.unet_forward(params, x, t, text_embed)
+
+        return model_fn

@@ -1,0 +1,200 @@
+"""SD / SDXL cross-attention UNet, in Flax/NHWC.
+
+One superset module covering both reference UNets:
+  - reference: models/stablediffusion/unet.py:422-808 (SD1.5/2.1 —
+    ``use_spatial_transformer``, legacy head-dim rules, int transformer_depth)
+  - reference: models/sdxl/unet.py:456-837 (SDXL — per-level
+    transformer_depth, 'sequential'/'timestep' label embeddings,
+    disable_middle_transformer; always spatial transformers)
+
+ResBlocks/Up/Downsample are the ADM ones (identical torch key layout).
+The fp16/bf16 torso switch maps to ``torso_dtype=jnp.bfloat16`` with f32
+GroupNorm and f32-softmax attention islands.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dmtpu.models.adm import (
+    AttentionBlock,
+    ResBlock,
+    _Downsample,
+    _Upsample,
+    _gn32,
+    _zeros_conv,
+    timestep_embedding,
+)
+from dmtpu.models.stablediffusion.attention import SpatialTransformer
+
+Array = jax.Array
+
+
+class SDUNetModel(nn.Module):
+    """Superset of the SD and SDXL UNets (see module docstring)."""
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: Union[int, Sequence[int]]
+    attention_resolutions: Sequence[int]
+    image_size: Optional[int] = None     # accepted for config parity; unused
+    dropout: float = 0.0
+    channel_mult: Sequence[int] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[Union[int, str]] = None
+    num_heads: int = -1
+    num_head_channels: int = -1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    use_new_attention_order: bool = False
+    use_spatial_transformer: bool = True
+    transformer_depth: Union[int, Sequence[int]] = 1
+    transformer_depth_middle: Optional[int] = None
+    context_dim: Optional[int] = None
+    legacy: bool = True
+    disable_self_attentions: Optional[Sequence[bool]] = None
+    num_attention_blocks: Optional[Sequence[int]] = None
+    disable_middle_self_attn: bool = False
+    disable_middle_transformer: bool = False
+    use_linear_in_transformer: bool = False
+    adm_in_channels: Optional[int] = None
+    use_checkpoint: bool = False
+    use_fp16: bool = False
+    use_bf16: bool = False
+    spatial_transformer_attn_type: str = "softmax"
+    torso_dtype: Any = None
+
+    def _dim_head(self, ch: int):
+        """Replicates the reference's (quirky) head-dim resolution."""
+        num_heads, num_head_channels = self.num_heads, self.num_head_channels
+        if num_head_channels == -1:
+            dim_head = ch // num_heads
+        else:
+            num_heads = ch // num_head_channels
+            dim_head = num_head_channels
+        if self.legacy:
+            dim_head = ch // num_heads if self.use_spatial_transformer else num_head_channels
+        return num_heads, dim_head
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array, context: Optional[Array] = None,
+                 y: Optional[Array] = None, *, train: bool = False) -> Array:
+        nrb = self.num_res_blocks
+        if isinstance(nrb, int):
+            nrb = [nrb] * len(self.channel_mult)
+        tdepth = self.transformer_depth
+        if isinstance(tdepth, int):
+            tdepth = [tdepth] * len(self.channel_mult)
+        tdepth_mid = self.transformer_depth_middle or tdepth[-1]
+        dt = self.torso_dtype
+        ted = self.model_channels * 4
+
+        emb = timestep_embedding(timesteps, self.model_channels)
+        emb = nn.Dense(ted, name="time_embed__0")(emb)
+        emb = nn.Dense(ted, name="time_embed__2")(jax.nn.silu(emb))
+
+        if self.num_classes is not None:
+            if y is None:
+                raise ValueError("class-conditional model requires y")
+            if isinstance(self.num_classes, int):
+                emb = emb + nn.Embed(self.num_classes, ted, name="label_emb")(
+                    jnp.asarray(y, jnp.int32))
+            elif self.num_classes == "continuous":
+                emb = emb + nn.Dense(ted, name="label_emb")(y.reshape(-1, 1))
+            elif self.num_classes == "sequential":
+                h = nn.Dense(ted, name="label_emb__0__0")(y)
+                emb = emb + nn.Dense(ted, name="label_emb__0__2")(jax.nn.silu(h))
+            elif self.num_classes == "timestep":
+                te = timestep_embedding(y.reshape(-1), self.model_channels)
+                h = nn.Dense(ted, name="label_emb__1__0")(te)
+                emb = emb + nn.Dense(ted, name="label_emb__1__2")(jax.nn.silu(h))
+            else:
+                raise ValueError(self.num_classes)
+
+        def attn_or_st(idx_name: str, ch: int, depth: int, disable_sa: bool, heads_override=None):
+            num_heads, dim_head = self._dim_head(ch)
+            if self.use_spatial_transformer:
+                return SpatialTransformer(
+                    num_heads, dim_head, depth=depth, disable_self_attn=disable_sa,
+                    use_linear=self.use_linear_in_transformer, dtype=dt, name=idx_name)
+            return AttentionBlock(
+                heads_override or num_heads, dim_head, self.use_new_attention_order,
+                dtype=dt, name=idx_name)
+
+        h = nn.Conv(self.model_channels, (3, 3), padding=1, dtype=dt,
+                    name="input_blocks__0__0")(x.astype(dt) if dt else x)
+        hs = [h]
+        ch = self.model_channels
+        ds = 1
+        blk = 1
+        for level, mult in enumerate(self.channel_mult):
+            for nr in range(nrb[level]):
+                h = ResBlock(mult * self.model_channels, self.dropout,
+                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                             name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
+                    if self.num_attention_blocks is None or nr < self.num_attention_blocks[level]:
+                        h = attn_or_st(f"input_blocks__{blk}__1", ch, tdepth[level], dsa)(
+                            h, context) if self.use_spatial_transformer else attn_or_st(
+                            f"input_blocks__{blk}__1", ch, tdepth[level], dsa)(h)
+                hs.append(h)
+                blk += 1
+            if level != len(self.channel_mult) - 1:
+                if self.resblock_updown:
+                    h = ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                                 down=True, dtype=dt, name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                else:
+                    h = _Downsample(ch, self.conv_resample, dtype=dt,
+                                    name=f"input_blocks__{blk}__0")(h)
+                hs.append(h)
+                ds *= 2
+                blk += 1
+
+        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=dt, name="middle_block__0")(h, emb, train=train)
+        if not self.disable_middle_transformer:
+            mid = attn_or_st("middle_block__1", ch, tdepth_mid, self.disable_middle_self_attn)
+            h = mid(h, context) if self.use_spatial_transformer else mid(h)
+        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                     dtype=dt, name="middle_block__2")(h, emb, train=train)
+
+        blk = 0
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(nrb[level] + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = ResBlock(self.model_channels * mult, self.dropout,
+                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                             name=f"output_blocks__{blk}__0")(h, emb, train=train)
+                ch = self.model_channels * mult
+                j = 1
+                if ds in self.attention_resolutions:
+                    dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
+                    if self.num_attention_blocks is None or i < self.num_attention_blocks[level]:
+                        heads_up = self.num_heads_upsample if self.num_heads_upsample != -1 else None
+                        a = attn_or_st(f"output_blocks__{blk}__{j}", ch, tdepth[level], dsa,
+                                       heads_override=heads_up)
+                        h = a(h, context) if self.use_spatial_transformer else a(h)
+                        j += 1
+                if level and i == nrb[level]:
+                    if self.resblock_updown:
+                        h = ResBlock(ch, self.dropout,
+                                     use_scale_shift_norm=self.use_scale_shift_norm,
+                                     up=True, dtype=dt,
+                                     name=f"output_blocks__{blk}__{j}")(h, emb, train=train)
+                    else:
+                        h = _Upsample(ch, self.conv_resample, dtype=dt,
+                                      name=f"output_blocks__{blk}__{j}")(h)
+                    ds //= 2
+                blk += 1
+
+        h = h.astype(x.dtype)
+        h = _gn32(h, "out__0")
+        h = jax.nn.silu(h)
+        return _zeros_conv(self.out_channels, 3, "out__2")(h)

@@ -102,10 +102,21 @@ _REGISTRY: Dict[str, str] = {
     "models.pesser.model.Model": "dmtpu.models.pesser.PesserUNet",
     "models.adm.unet.UNetModel": "dmtpu.models.adm.UNetModel",
     "models.adm.unet_combined.UNetCombined": "dmtpu.models.adm.UNetCombined",
-    "models.dit.dit.DiT": "dmtpu.models.dit.DiT",
-    "models.mdt.mdt.MDT": "dmtpu.models.mdt.MDT",
+    "models.dit.dit.DiT": "dmtpu.models.latent.LatentDiffusionWrapper",
+    "models.dit.model.DiT": "dmtpu.models.dit.DiT",
+    "models.dit.autoencoder.AutoEncoderKL": "dmtpu.models.latent.PretrainedVAE",
+    "models.mdt.mdt.MDT": "dmtpu.models.latent.LatentDiffusionWrapper",
+    "models.mdt.model.MDTv2": "dmtpu.models.mdt.MDTv2",
+    "models.mdt.autoencoder.AutoEncoderKL": "dmtpu.models.latent.PretrainedVAE",
     "models.stablediffusion.stablediffusion.StableDiffusion": "dmtpu.models.stablediffusion.StableDiffusion",
+    "models.stablediffusion.unet.UNetModel": "dmtpu.models.stablediffusion.SDUNetModel",
+    "models.stablediffusion.autoencoder.AutoEncoderKL": "dmtpu.models.stablediffusion.AutoencoderKL",
+    "models.stablediffusion.text_encoders.FrozenCLIPEmbedder": "dmtpu.models.stablediffusion.FrozenCLIPEmbedder",
+    "models.stablediffusion.text_encoders.FrozenOpenCLIPEmbedder": "dmtpu.models.stablediffusion.FrozenOpenCLIPEmbedder",
     "models.sdxl.stablediffusion.StableDiffusion": "dmtpu.models.sdxl.StableDiffusionXL",
+    "models.sdxl.unet.UNetModel": "dmtpu.models.stablediffusion.SDUNetModel",
+    "models.sdxl.autoencoder.AutoencoderKL": "dmtpu.models.stablediffusion.AutoencoderKL",
+    "models.sdxl.conditioner.GeneralConditioner": "dmtpu.models.sdxl.SDXLConditioner",
     # datasets
     "datasets.ImageDir.ImageDir": "dmtpu.data.image_dir.ImageDir",
     "datasets.mnist.MNIST": "dmtpu.data.mnist.MNIST",

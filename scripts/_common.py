@@ -1,0 +1,65 @@
+"""Shared helpers for the sampling CLI scripts."""
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config, load_config, merge_dotlist  # noqa: E402
+
+
+def base_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", type=str, required=True)
+    p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--weights", type=str, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--respace_type", type=str, default="uniform")
+    p.add_argument("--respace_steps", type=int, default=None)
+    return p
+
+
+def load_conf(args, unknown):
+    return merge_dotlist(load_config(args.config), [a for a in unknown if "=" in a])
+
+
+def diffusion_params(args, conf, **extra):
+    params = dict(conf.diffusion.get("params", {}))
+    if args.respace_steps is not None:
+        params.update(respace_type=args.respace_type, respace_steps=args.respace_steps)
+    params.pop("device", None)
+    params.update(extra)
+    return params
+
+
+def load_model_params(path: str, model, sample_args):
+    """orbax train-state dir (EMA), .npz export, or torch checkpoint."""
+    if os.path.isdir(path):
+        from dmtpu.utils import checkpoint as ckpt_lib
+
+        state = ckpt_lib.load_checkpoint(path)
+        if isinstance(state, dict) and state.get("ema"):
+            return {"params": state["ema"]["shadow"]["params"]}
+        return {"params": state["params"]["params"]}
+    if path.endswith(".npz"):
+        data = dict(np.load(path, allow_pickle=True))
+        return jax.tree.map(jnp.asarray, data["params"].item())
+    sd = load_torch_weights(path)
+    init = jax.eval_shape(model.init, jax.random.PRNGKey(0), *sample_args)
+    return convert_by_structure(sd, init)
+
+
+def image_shape(conf):
+    s = conf.data.params.img_size
+    c = conf.data.get("img_channels", 3)
+    return (s, s, c)

@@ -1,0 +1,93 @@
+"""Class-conditional sampling with classifier-free guidance.
+
+(CLI parity: reference scripts/sample_cfg.py:110-188.)  The cond/uncond pair
+runs as one batched model call inside the compiled scan.
+"""
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
+
+from _common import (  # noqa: E402
+    base_parser,
+    diffusion_params,
+    image_shape,
+    load_conf,
+    load_model_params,
+)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dmtpu.diffusions import DDIMCFG, DDPMCFG  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config  # noqa: E402
+from dmtpu.utils.image import save_image  # noqa: E402
+from dmtpu.utils.logger import get_logger  # noqa: E402
+from dmtpu.utils.misc import amortize  # noqa: E402
+
+
+def main():
+    p = base_parser()
+    p.add_argument("--sampler", type=str, choices=["ddpm", "ddim"], default="ddpm")
+    p.add_argument("--guidance_scale", type=float, required=True,
+                   help="s=0: uncond; s=1: plain conditional; s>1: guided")
+    p.add_argument("--class_ids", type=int, nargs="+", default=None,
+                   help="Which classes to sample (default: all)")
+    p.add_argument("--n_samples_each_class", type=int, required=True)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--var_type", type=str, default=None)
+    args, unknown = p.parse_known_args()
+    conf = load_conf(args, unknown)
+    logger = get_logger()
+    rng = jax.random.PRNGKey(args.seed)
+
+    shape = image_shape(conf)
+    num_classes = conf.data.num_classes
+    class_ids = args.class_ids or list(range(num_classes))
+
+    extra = dict(guidance_scale=args.guidance_scale)
+    if args.var_type is not None:
+        extra["var_type"] = args.var_type
+    if args.sampler == "ddim":
+        diffuser = DDIMCFG(**diffusion_params(args, conf, **extra, eta=args.ddim_eta))
+    else:
+        diffuser = DDPMCFG(**diffusion_params(args, conf, **extra))
+
+    model = instantiate_from_config(conf.model)
+    params = load_model_params(
+        args.weights, model,
+        (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
+    )
+    logger.info(f"Loaded weights from {args.weights}")
+
+    @jax.jit
+    def sample_jit(prm, noise, key, y):
+        def model_fn(x, t, y=None, **kw):
+            return model.apply(prm, x, t, y)
+
+        # null class == num_classes row (zero-initialised, y=None equivalent)
+        return diffuser.sample(
+            model_fn, noise, key,
+            uncond_conditioning=jnp.full((noise.shape[0],), num_classes, jnp.int32),
+            model_kwargs=dict(y=y),
+        )
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    for c in class_ids:
+        os.makedirs(os.path.join(args.save_dir, f"class{c}"), exist_ok=True)
+        idx = 0
+        for i, bs in enumerate(amortize(args.n_samples_each_class, args.batch_size)):
+            k = jax.random.fold_in(jax.random.fold_in(rng, c), i)
+            noise = jax.random.normal(k, (bs,) + shape)
+            y = jnp.full((bs,), c, jnp.int32)
+            out = np.clip(np.asarray(sample_jit(params, noise, k, y)), -1, 1)
+            for img in out:
+                save_image(img, os.path.join(args.save_dir, f"class{c}", f"{idx}.png"))
+                idx += 1
+        logger.info(f"class {c}: {idx} samples")
+    logger.info("Done")
+
+
+if __name__ == "__main__":
+    main()

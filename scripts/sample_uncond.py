@@ -1,0 +1,200 @@
+"""Unconditional sampling with 5 modes (CLI parity: reference scripts/sample_uncond.py).
+
+Modes (reference :22-27 compatibility matrix):
+  sample / denoise (intermediate x_t grid) / progressive (pred_x0 grid) /
+  interpolate (slerp between two noises) / reconstruction (DDIM invert+decode)
+
+TPU-native: each fold is one jitted scan; per-step intermediates for
+denoise/progressive come from the scan's stacked outputs.
+"""
+import argparse
+import math
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dmtpu.data import ImageDir  # noqa: E402
+from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config, load_config, merge_dotlist  # noqa: E402
+from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
+from dmtpu.utils.logger import get_logger  # noqa: E402
+from dmtpu.utils.misc import amortize  # noqa: E402
+from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
+
+COMPATIBLE_SAMPLER_MODE = dict(
+    ddpm=["sample", "denoise", "progressive"],
+    ddim=["sample", "denoise", "progressive", "interpolate", "reconstruction"],
+    euler=["sample", "denoise", "progressive", "interpolate"],
+    heun=["sample", "denoise", "progressive", "interpolate"],
+)
+
+
+def get_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", type=str, required=True)
+    p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--weights", type=str, required=True,
+                   help="orbax ckpt dir, .npz, or torch .pt/.safetensors")
+    p.add_argument("--n_samples", type=int, required=True)
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=500)
+    p.add_argument("--sampler", type=str, choices=list(COMPATIBLE_SAMPLER_MODE), default="ddpm")
+    p.add_argument("--respace_type", type=str, default="uniform")
+    p.add_argument("--respace_steps", type=int, default=None)
+    p.add_argument("--var_type", type=str, default=None)
+    p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--mode", type=str, default="sample",
+                   choices=["sample", "denoise", "progressive", "interpolate", "reconstruction"])
+    p.add_argument("--n_denoise", type=int, default=20)
+    p.add_argument("--n_progressive", type=int, default=20)
+    p.add_argument("--n_interpolate", type=int, default=16)
+    p.add_argument("--input_dir", type=str, required=False)
+    return p
+
+
+def build_diffuser(args, conf):
+    params = dict(conf.diffusion.get("params", {}))
+    if args.respace_steps is not None:
+        params.update(respace_type=args.respace_type, respace_steps=args.respace_steps)
+    if args.var_type is not None:
+        params["var_type"] = args.var_type
+    cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}[args.sampler]
+    if args.sampler == "ddim":
+        params["eta"] = args.ddim_eta
+    params.pop("device", None)
+    return cls(**params)
+
+
+def load_params(path, model, sample_shape):
+    """Load model params from orbax / npz / torch formats."""
+    x = jnp.zeros(sample_shape)
+    t = jnp.zeros((1,), jnp.int32)
+    if os.path.isdir(path):  # orbax TrainState checkpoint -> EMA params
+        from dmtpu.utils import checkpoint as ckpt_lib
+
+        state = ckpt_lib.load_checkpoint(path)
+        if isinstance(state, dict) and "ema" in state and state["ema"]:
+            return {"params": state["ema"]["shadow"]["params"]}
+        return {"params": state["params"]["params"]}
+    if path.endswith(".npz"):
+        data = dict(np.load(path, allow_pickle=True))
+        return jax.tree.map(jnp.asarray, data["params"].item())
+    # torch checkpoint
+    sd = load_torch_weights(path)
+    init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+    return convert_by_structure(sd, init)
+
+
+def slerp(t, z1, z2):
+    """(reference: scripts/sample_uncond.py:253-255)"""
+    theta = jnp.arccos(jnp.sum(z1 * z2) / (jnp.linalg.norm(z1) * jnp.linalg.norm(z2)))
+    return (jnp.sin((1 - t) * theta) / jnp.sin(theta) * z1
+            + jnp.sin(t * theta) / jnp.sin(theta) * z2)
+
+
+def main():
+    args, unknown = get_parser().parse_known_args()
+    if args.mode not in COMPATIBLE_SAMPLER_MODE[args.sampler]:
+        raise ValueError(f"mode {args.mode} is incompatible with sampler {args.sampler}")
+    conf = merge_dotlist(load_config(args.config), [a for a in unknown if "=" in a])
+    logger = get_logger()
+    rng = jax.random.PRNGKey(args.seed)
+
+    img_size = conf.data.params.img_size
+    img_ch = conf.data.get("img_channels", 3)
+    shape = (img_size, img_size, img_ch)
+
+    diffuser = build_diffuser(args, conf)
+    model = instantiate_from_config(conf.model)
+    params = load_params(args.weights, model, (1,) + shape)
+    logger.info(f"Loaded weights from {args.weights}")
+
+    def model_fn(x, t, **kw):
+        return model.apply(params, x, t, **kw)
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    S = len(diffuser.respaced_seq)
+
+    if args.mode == "sample":
+        @jax.jit
+        def sample_fn(noise, key):
+            return diffuser.sample(model_fn, noise, key)
+
+        idx = 0
+        for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
+            k = jax.random.fold_in(rng, i)
+            noise = jax.random.normal(k, (bs,) + shape)
+            out = np.clip(np.asarray(sample_fn(noise, k)), -1, 1)
+            for img in out:
+                save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
+                idx += 1
+            logger.info(f"Sampled {idx}/{args.n_samples}")
+
+    elif args.mode in ("denoise", "progressive"):
+        key = "sample" if args.mode == "denoise" else "pred_x0"
+        freq = max(1, S // (args.n_denoise if args.mode == "denoise" else args.n_progressive))
+
+        @jax.jit
+        def loop_fn(noise, k):
+            return diffuser.sample_loop(model_fn, noise, k, collect=(key,))
+
+        idx = 0
+        for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
+            k = jax.random.fold_in(rng, i)
+            noise = jax.random.normal(k, (bs,) + shape)
+            _, ys = loop_fn(noise, k)
+            traj = np.clip(np.asarray(ys[key]), -1, 1)  # [S, B, H, W, C]
+            traj = traj[::-1][::freq][::-1]  # keep every freq-th, ending at final
+            for b in range(bs):
+                save_image_grid(traj[:, b], os.path.join(args.save_dir, f"{idx}.png"),
+                                nrow=len(traj))
+                idx += 1
+            logger.info(f"Sampled {idx}/{args.n_samples}")
+
+    elif args.mode == "interpolate":
+        @jax.jit
+        def sample_fn(noise, key):
+            return diffuser.sample(model_fn, noise, key)
+
+        for i in range(args.n_samples):
+            k = jax.random.fold_in(rng, i)
+            z1 = jax.random.normal(jax.random.fold_in(k, 0), shape)
+            z2 = jax.random.normal(jax.random.fold_in(k, 1), shape)
+            ts = jnp.linspace(0, 1, args.n_interpolate)
+            noise = jnp.stack([slerp(t, z1, z2) for t in ts])
+            out = np.clip(np.asarray(sample_fn(noise, k)), -1, 1)
+            save_image_grid(out, os.path.join(args.save_dir, f"{i}.png"), nrow=args.n_interpolate)
+            logger.info(f"Sampled {i + 1}/{args.n_samples}")
+
+    elif args.mode == "reconstruction":
+        assert args.input_dir, "--input_dir required for reconstruction"
+        dataset = ImageDir(args.input_dir, img_size=img_size)
+
+        @jax.jit
+        def recon_fn(img):
+            inverted = diffuser.sample_inversion(model_fn, img)
+            return diffuser.sample(model_fn, inverted, jax.random.PRNGKey(0))
+
+        n = min(args.n_samples, len(dataset))
+        for i in range(0, n, args.batch_size):
+            batch = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
+            recon = np.clip(np.asarray(recon_fn(jnp.asarray(batch))), -1, 1)
+            for b in range(len(batch)):
+                pair = np.stack([batch[b], recon[b]])
+                save_image_grid(pair, os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)
+            logger.info(f"Reconstructed {min(i + args.batch_size, n)}/{n}")
+
+    logger.info("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,10 +46,17 @@ try:
 except ImportError:
     import importlib.machinery
     oc = types.ModuleType("omegaconf")
-    oc.__spec__ = importlib.machinery.ModuleSpec("omegaconf", loader=None)
+    oc.__spec__ = importlib.machinery.ModuleSpec(
+        "omegaconf", loader=None, is_package=True)
+    oc.__path__ = []
     oc.OmegaConf = type("OmegaConf", (), {})
     oc.DictConfig = dict
+    oc_list = types.ModuleType("omegaconf.listconfig")
+    oc_list.__spec__ = importlib.machinery.ModuleSpec("omegaconf.listconfig", loader=None)
+    oc_list.ListConfig = list
+    oc.listconfig = oc_list
     sys.modules["omegaconf"] = oc
+    sys.modules["omegaconf.listconfig"] = oc_list
 
 import pytest  # noqa: E402
 
