@@ -1,0 +1,16 @@
+"""Evaluation: on-device FID harness."""
+from dmtpu.eval.fid import (
+    CLIPFeatureExtractor,
+    compute_fid,
+    compute_statistics,
+    fid_from_features,
+    frechet_distance,
+)
+
+__all__ = [
+    "compute_statistics",
+    "frechet_distance",
+    "fid_from_features",
+    "compute_fid",
+    "CLIPFeatureExtractor",
+]

@@ -1,0 +1,74 @@
+"""Convert upstream PyTorch checkpoints to native .npz parameter files.
+
+Covers every zoo architecture (SURVEY.md §2b): this repo's UNets, pesser,
+ADM (+combined), DiT, MDTv2, SD1.5/2.1, SDXL.  The output .npz loads
+instantly in the sampling CLIs (``--weights foo.npz``).
+
+Usage:
+    python scripts/convert_checkpoint.py -c weights/<...>.yaml \
+        --weights /path/to/upstream.(pt|ckpt|safetensors) --out foo.npz
+        [--vae-weights VAE.bin] [--text-encoder-weights TE.bin]
+"""
+import argparse
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
+from dmtpu.utils.logger import get_logger  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True,
+                   help="reference-format weight yaml (model + diffusion)")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--vae-weights", default=None)
+    p.add_argument("--text-encoder-weights", default=None)
+    args = p.parse_args()
+    logger = get_logger()
+
+    conf = load_config(args.config)
+    model = instantiate_from_config(conf.model)
+    sd = load_torch_weights(args.weights)
+    logger.info(f"Loaded {len(sd)} tensors from {args.weights}")
+
+    target = conf.model.target
+    if "stablediffusion.stablediffusion" in target or "sdxl.stablediffusion" in target:
+        te_sd = load_torch_weights(args.text_encoder_weights) if args.text_encoder_weights else None
+        params = model.load_state_dict(sd, te_sd)
+    elif "dit.dit" in target or "mdt.mdt" in target:
+        vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
+        params = model.load_state_dict(sd, vae_sd)
+    else:
+        # plain flax module: structural conversion against init shapes
+        img_size = conf.get("data", {}).get("params", {}).get("img_size", 32)
+        ch = conf.get("data", {}).get("img_channels", 3)
+        x = jnp.zeros((1, img_size, img_size, ch))
+        t = jnp.zeros((1,), jnp.int32)
+        try:
+            init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
+        except Exception:
+            init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t,
+                                  jnp.zeros((1,), jnp.int32))
+        params = convert_by_structure(sd, init)
+
+    np.savez(args.out, params=np.asarray(
+        jax.tree.map(lambda a: np.asarray(a), params), dtype=object))
+    n = sum(int(np.prod(np.shape(a))) for a in jax.tree.leaves(params))
+    logger.info(f"Wrote {args.out}: {n / 1e6:.1f}M params")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,8 @@ def get_parser():
                         help="Resume from a checkpoint: a path, `best` or `latest`")
     parser.add_argument("-ni", "--no_interaction", action="store_true", default=False,
                         help="Never prompt; assume yes")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="Capture a jax.profiler trace of steps 10-15 into this dir")
     return parser
 
 
@@ -154,18 +156,29 @@ def main():
     def save_ckpt():
         ckpt_lib.save_checkpoint(os.path.join(exp_dir, "ckpt"), step, state)
 
+    from dmtpu.utils.profiling import StepTimer
+
     logger.info("Start training...")
     gen = get_data_generator(loader)
+    timer = StepTimer()
     while step < conf.train.n_steps:
+        if args.profile and step == 10:
+            jax.profiler.start_trace(args.profile)
         batch = next(gen)
         x = batch[0] if isinstance(batch, (tuple, list)) else batch
         x = shard_batch(np.asarray(x, np.float32), mesh)
         rng = jax.random.fold_in(root_rng, step)
         state, metrics = train_step(state, x, rng)
+        timer.tick()
+        if args.profile and step == 15:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            logger.info(f"Wrote profiler trace to {args.profile}")
         tracker.track_status(
             "Train",
             {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"],
-             "lr": conf.train.optim.params.lr},
+             "lr": conf.train.optim.params.lr,
+             "imgs_per_sec": timer.throughput(conf.train.batch_size)},
             step,
         )
         if check_freq(conf.train.save_freq, step):

@@ -1,0 +1,42 @@
+"""FID harness: Fréchet-distance math golden tests."""
+import numpy as np
+
+from dmtpu.eval import compute_statistics, fid_from_features, frechet_distance
+
+
+def test_frechet_identical_is_zero():
+    rs = np.random.RandomState(0)
+    f = rs.randn(500, 16)
+    assert abs(fid_from_features(f, f)) < 1e-6
+
+
+def test_frechet_mean_shift_analytic():
+    """For equal covariances, FID == ||mu1 - mu2||^2."""
+    rs = np.random.RandomState(1)
+    base = rs.randn(20000, 8)
+    shift = np.zeros(8)
+    shift[0] = 3.0
+    m1, s1 = compute_statistics(base)
+    m2, s2 = compute_statistics(base + shift)
+    d = frechet_distance(m1, s1, m2, s2)
+    np.testing.assert_allclose(d, 9.0, rtol=1e-4, atol=1e-4)
+
+
+def test_frechet_diagonal_analytic():
+    """Diagonal Gaussians: FID = |mu|^2 + sum (sqrt(s1)-sqrt(s2))^2."""
+    mu1 = np.zeros(4)
+    mu2 = np.array([1.0, 0, 0, 0])
+    s1 = np.diag([1.0, 2.0, 3.0, 4.0])
+    s2 = np.diag([2.0, 2.0, 1.0, 4.0])
+    want = 1.0 + sum((np.sqrt(a) - np.sqrt(b)) ** 2 for a, b in
+                     zip([1, 2, 3, 4.0], [2, 2, 1, 4.0]))
+    got = frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_monotone_in_noise():
+    rs = np.random.RandomState(2)
+    ref = rs.randn(2000, 8)
+    d_small = fid_from_features(ref, ref + 0.1 * rs.randn(2000, 8))
+    d_big = fid_from_features(ref, ref + 1.0 * rs.randn(2000, 8))
+    assert 0 < d_small < d_big
