@@ -42,8 +42,13 @@ class DDIM(DDPM):
         p = self.predict(model_output, xt, c, objective=objective)
         pred_x0, pred_eps = p["pred_x0"], p["pred_eps"]
         mean = c["sqrt_ac_prev"] * pred_x0 + c["ddim_dir_coef"] * pred_eps
-        reverse_eps = jax.random.normal(rng, xt.shape, jnp.float32)
-        sample = mean + c["nonzero"] * c["ddim_std"] * reverse_eps
+        if self.eta == 0.0:
+            # deterministic: statically skip the per-step normal draw
+            reverse_eps = jnp.zeros_like(xt)
+            sample = mean
+        else:
+            reverse_eps = jax.random.normal(rng, xt.shape, jnp.float32)
+            sample = mean + c["nonzero"] * c["ddim_std"] * reverse_eps
         return {
             "sample": sample,
             "mean": mean,
