@@ -1,5 +1,6 @@
 """Evaluation: on-device FID harness."""
 from dmtpu.eval.fid import (
+    inception_score,
     CLIPFeatureExtractor,
     compute_fid,
     compute_statistics,
@@ -8,6 +9,7 @@ from dmtpu.eval.fid import (
 )
 
 __all__ = [
+    "inception_score",
     "compute_statistics",
     "frechet_distance",
     "fid_from_features",

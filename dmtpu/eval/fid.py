@@ -106,3 +106,21 @@ def compute_fid(
     f1 = extractor(np.asarray(images1_u8))
     f2 = extractor(np.asarray(images2_u8))
     return fid_from_features(f1, f2)
+
+
+def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
+    """Inception Score from class probabilities [N, K]: exp(E KL(p(y|x)||p(y))).
+
+    (The reference reports IS via torch-fidelity; the classifier producing
+    ``probs`` is pluggable — e.g. our ADM EncoderUNetModel at t=0, or an
+    InceptionV3 port with locally-supplied weights.)
+    """
+    probs = np.asarray(probs, np.float64)
+    n = len(probs)
+    scores = []
+    for i in range(splits):
+        part = probs[i * n // splits:(i + 1) * n // splits]
+        marginal = part.mean(axis=0, keepdims=True)
+        kl = np.sum(part * (np.log(part + 1e-16) - np.log(marginal + 1e-16)), axis=1)
+        scores.append(float(np.exp(kl.mean())))
+    return float(np.mean(scores)), float(np.std(scores))

@@ -63,3 +63,24 @@ def image_shape(conf):
     s = conf.data.params.img_size
     c = conf.data.get("img_channels", 3)
     return (s, s, c)
+
+
+def dp_sharding():
+    """(mesh, shard_fn, replicate_fn) for data-parallel sampling across all
+    local devices; identity on a single chip.  Mirrors the reference's
+    amortize+gather DP sampling (reference: scripts/sample_uncond.py:183-190),
+    with XLA inserting the gather.
+    """
+    from dmtpu.parallel import make_mesh
+    from dmtpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    mesh = make_mesh()
+    if mesh.devices.size <= 1:
+        return mesh, (lambda x: x), (lambda p: p)
+    bsh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    return (
+        mesh,
+        lambda x: jax.device_put(x, bsh),
+        lambda p: jax.tree.map(lambda a: jax.device_put(a, rep), p),
+    )

@@ -13,6 +13,7 @@ import os
 import sys
 
 sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.append(os.path.dirname(os.path.abspath(__file__)))
 
 from dmtpu.utils.setup import setup_jax  # noqa: E402
 
@@ -29,6 +30,7 @@ from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
 from dmtpu.utils.misc import amortize  # noqa: E402
 from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
+from _common import dp_sharding  # noqa: E402
 
 COMPATIBLE_SAMPLER_MODE = dict(
     ddpm=["sample", "denoise", "progressive"],

@@ -40,3 +40,17 @@ def test_monotone_in_noise():
     d_small = fid_from_features(ref, ref + 0.1 * rs.randn(2000, 8))
     d_big = fid_from_features(ref, ref + 1.0 * rs.randn(2000, 8))
     assert 0 < d_small < d_big
+
+
+def test_inception_score_bounds():
+    from dmtpu.eval import inception_score
+
+    rs = np.random.RandomState(3)
+    # uniform predictions -> IS == 1
+    uniform = np.full((1000, 10), 0.1)
+    m, s = inception_score(uniform)
+    np.testing.assert_allclose(m, 1.0, rtol=1e-6)
+    # confident + diverse predictions -> IS == num classes
+    onehot = np.eye(10)[rs.randint(0, 10, 1000)] * 0.999 + 1e-4
+    m2, _ = inception_score(onehot / onehot.sum(1, keepdims=True))
+    assert 8.0 < m2 <= 10.01
