@@ -37,6 +37,8 @@ def main():
     p.add_argument("--n_samples_each_class", type=int, required=True)
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--var_type", type=str, default=None)
+    p.add_argument("--vae_weights", type=str, default=None,
+                   help="VAE weights for latent models (DiT/MDT wrappers)")
     args, unknown = p.parse_known_args()
     conf = load_conf(args, unknown)
     logger = get_logger()
@@ -54,24 +56,43 @@ def main():
     else:
         diffuser = DDPMCFG(**diffusion_params(args, conf, **extra))
 
+    from dmtpu.convert import load_torch_weights
+    from dmtpu.models.latent import LatentDiffusionWrapper
+
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
-        args.weights, model,
-        (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
-    )
+    is_latent = isinstance(model, LatentDiffusionWrapper)
+    if is_latent:
+        # DiT/MDT: sample 4-ch latents at size/8, decode with the VAE
+        # (streamlit-page semantics, reference: streamlit/pages/1_...py:86-107)
+        shape = (shape[0] // 8, shape[1] // 8, 4)
+        vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
+        params = model.load_state_dict(load_torch_weights(args.weights), vae_sd)
+        base_fn = model.make_model_fn(params)
+        # DiT/MDT null class row == num_classes (class_dropout_prob > 0)
+    else:
+        params = load_model_params(
+            args.weights, model,
+            (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
+        )
+        base_fn = None
     logger.info(f"Loaded weights from {args.weights}")
 
     @jax.jit
     def sample_jit(prm, noise, key, y):
         def model_fn(x, t, y=None, **kw):
+            if is_latent:
+                return base_fn(x, t, y)
             return model.apply(prm, x, t, y)
 
         # null class == num_classes row (zero-initialised, y=None equivalent)
-        return diffuser.sample(
+        z = diffuser.sample(
             model_fn, noise, key,
             uncond_conditioning=jnp.full((noise.shape[0],), num_classes, jnp.int32),
             model_kwargs=dict(y=y),
         )
+        if is_latent and params.get("vae"):
+            return model.decode_latent(params, z)
+        return z
 
     os.makedirs(args.save_dir, exist_ok=True)
     for c in class_ids:

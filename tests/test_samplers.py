@@ -225,3 +225,35 @@ def test_sampler_jit_no_retrace(x_init):
     f(x, jax.random.PRNGKey(1))
     assert calls["n"] == n_after_first  # no retrace
     assert n_after_first <= 2  # model traced once inside scan (+1 possible shape pass)
+
+
+def test_ddpm_ip_loss_parity():
+    """DDPM-IP training loss vs reference with fixed eps / perturbation."""
+    require_reference()
+    import torch
+    from diffusions.ddpm_ip import DDPM_IP as RefIP
+
+    from dmtpu.diffusions import DDPM_IP
+
+    rs = np.random.RandomState(11)
+    x0 = rs.randn(4, 3, 8, 8).astype(np.float32)
+    eps = rs.randn(4, 3, 8, 8).astype(np.float32)
+    pert = rs.randn(4, 3, 8, 8).astype(np.float32)
+    t = np.array([5, 20, 50, 99])
+
+    ref = RefIP(gamma=0.1, **KW)
+    # reference draws the perturbation internally; fix it by patching randn_like
+    import diffusions.ddpm_ip as ref_mod
+    orig = torch.randn_like
+    torch.randn_like = lambda x, **kw: torch.from_numpy(pert)
+    try:
+        want = float(ref.loss_func(pt_model, torch.from_numpy(x0),
+                                   torch.from_numpy(t), eps=torch.from_numpy(eps)))
+    finally:
+        torch.randn_like = orig
+
+    ours = DDPM_IP(gamma=0.1, **KW)
+    got = float(ours.loss_func(jx_model, jnp.asarray(nhwc(x0)), jnp.asarray(t),
+                               eps=jnp.asarray(nhwc(eps)),
+                               perturb_eps=jnp.asarray(nhwc(pert))))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
