@@ -37,9 +37,14 @@ def extract_images(root: str) -> List[str]:
 
 
 class ImageDir:
-    """(reference: datasets/ImageDir.py:20-35)"""
+    """(reference: datasets/ImageDir.py:20-35)
 
-    def __init__(self, root: str, img_size: Optional[int] = None, transform=None, flip_p: float = 0.0):
+    ``cache=True`` keeps decoded PIL images in memory — with small datasets
+    the per-step host decode otherwise dominates TPU step time.
+    """
+
+    def __init__(self, root: str, img_size: Optional[int] = None, transform=None,
+                 flip_p: float = 0.0, cache: bool = False):
         root = os.path.expanduser(root)
         if not os.path.isdir(root):
             raise ValueError(f"{root} is not a valid directory")
@@ -47,12 +52,20 @@ class ImageDir:
         self.transform = transform
         if transform is None and img_size is not None:
             self.transform = ImageTransform(img_size, flip_p=flip_p)
+        self._cache: Optional[dict] = {} if cache else None
 
     def __len__(self):
         return len(self.img_paths)
 
+    def _load(self, item: int) -> Image.Image:
+        if self._cache is not None:
+            if item not in self._cache:
+                self._cache[item] = Image.open(self.img_paths[item]).convert("RGB")
+            return self._cache[item]
+        return Image.open(self.img_paths[item]).convert("RGB")
+
     def __getitem__(self, item: int):
-        img = Image.open(self.img_paths[item]).convert("RGB")
+        img = self._load(item)
         if self.transform is not None:
             return self.transform(img)
         return to_norm_array(img)

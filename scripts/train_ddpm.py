@@ -65,7 +65,10 @@ def main():
     if args.exp_dir is None:
         args.exp_dir = os.path.join("runs", f"exp-{args.time_str}")
     unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
-    dotlist = [f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])] + [a for a in unknown if "=" in a]
+    if all("=" in a for a in unknown):
+        dotlist = unknown  # key=value form
+    else:
+        dotlist = [f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])]
     conf = merge_dotlist(load_config(args.config), dotlist)
 
     is_main = jax.process_index() == 0
