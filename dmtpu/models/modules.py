@@ -99,13 +99,14 @@ class Upsample(nn.Module):
 
     out_channels: int
     use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, 2 * h, 2 * w, c), method="nearest")
         if self.use_conv:
-            x = Conv(self.out_channels, 3, 1, 1, name="conv")(x)
+            x = Conv(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -114,11 +115,12 @@ class Downsample(nn.Module):
 
     out_channels: int
     use_conv: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         if self.use_conv:
-            return Conv(self.out_channels, 3, 2, 1, name="conv")(x)
+            return Conv(self.out_channels, 3, 2, 1, dtype=self.dtype, name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -143,11 +145,11 @@ class SelfAttentionBlock(nn.Module):
         xn = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=jnp.float32,
                           name="norm")(x.astype(jnp.float32)).astype(x.dtype)
         tokens = xn.reshape(b, h * w, c)
-        q = Dense(c, name="q")(tokens).reshape(b, h * w, self.n_heads, hd)
-        k = Dense(c, name="k")(tokens).reshape(b, h * w, self.n_heads, hd)
-        v = Dense(c, name="v")(tokens).reshape(b, h * w, self.n_heads, hd)
-        out = flash_mha(q, k, v)  # scale = hd**-0.5, matching reference
-        out = Dense(c, name="proj")(out.reshape(b, h * w, c))
+        q = Dense(c, dtype=self.dtype, name="q")(tokens).reshape(b, h * w, self.n_heads, hd)
+        k = Dense(c, dtype=self.dtype, name="k")(tokens).reshape(b, h * w, self.n_heads, hd)
+        v = Dense(c, dtype=self.dtype, name="v")(tokens).reshape(b, h * w, self.n_heads, hd)
+        out = flash_mha(q, k, v)  # scale = hd**-0.5, matching reference; f32 softmax
+        out = Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, h * w, c))
         return out.reshape(b, h, w, c) + x
 
 

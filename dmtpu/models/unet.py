@@ -72,7 +72,7 @@ class UNet(nn.Module):
         emb = Dense(ted, name="time_embed_1")(emb)
         emb = Dense(ted, name="time_embed_2")(jax.nn.silu(emb))
 
-        h = Conv(self.dim, 3, 1, 1, name="first_conv")(x)
+        h = Conv(self.dim, 3, 1, 1, dtype=self.dtype, name="first_conv")(x)
         skips = [h]
 
         # down path
@@ -81,15 +81,15 @@ class UNet(nn.Module):
             for j in range(self.num_res_blocks):
                 h = ResBlock(out_dim, self.dropout, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, emb, train=train)
                 if self.use_attn[i]:
-                    h = SelfAttentionBlock(out_dim, self.n_heads, name=f"down_{i}_attn_{j}")(h)
+                    h = SelfAttentionBlock(out_dim, self.n_heads, dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
                 skips.append(h)
             if i < n_stages - 1:
-                h = Downsample(out_dim, name=f"down_{i}_downsample")(h)
+                h = Downsample(out_dim, dtype=self.dtype, name=f"down_{i}_downsample")(h)
                 skips.append(h)
 
         # bottleneck
         h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, name="mid_res_1")(h, emb, train=train)
-        h = SelfAttentionBlock(h.shape[-1], 1, name="mid_attn")(h)
+        h = SelfAttentionBlock(h.shape[-1], 1, dtype=self.dtype, name="mid_attn")(h)
         h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, name="mid_res_2")(h, emb, train=train)
 
         # up path
@@ -99,9 +99,9 @@ class UNet(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = ResBlock(out_dim, self.dropout, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, emb, train=train)
                 if self.use_attn[i]:
-                    h = SelfAttentionBlock(out_dim, self.n_heads, name=f"up_{i}_attn_{j}")(h)
+                    h = SelfAttentionBlock(out_dim, self.n_heads, dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
             if i > 0:
-                h = Upsample(out_dim, name=f"up_{i}_upsample")(h)
+                h = Upsample(out_dim, dtype=self.dtype, name=f"up_{i}_upsample")(h)
 
         h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="last_norm")(h.astype(jnp.float32))
         h = Conv(self.out_channels, 3, 1, 1, name="last_conv")(jax.nn.silu(h))
