@@ -164,6 +164,7 @@ def main():
     logger.info("Start training...")
     gen = get_data_generator(loader)
     timer = StepTimer()
+    pending = []
     while step < conf.train.n_steps:
         if args.profile and step == 10:
             jax.profiler.start_trace(args.profile)
@@ -177,13 +178,20 @@ def main():
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
             logger.info(f"Wrote profiler trace to {args.profile}")
-        tracker.track_status(
-            "Train",
-            {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"],
-             "lr": conf.train.optim.params.lr,
-             "imgs_per_sec": timer.throughput(conf.train.batch_size)},
-            step,
-        )
+        # buffer device scalars; fetching every step would serialise on host
+        # round-trips (the metrics sync is deferred to print_freq boundaries)
+        pending.append((step, metrics))
+        if check_freq(conf.train.print_freq, step) or check_freq(conf.train.save_freq, step) \
+                or check_freq(conf.train.sample_freq, step) or step + 1 == conf.train.n_steps:
+            for s_, m_ in pending:
+                tracker.track_status(
+                    "Train",
+                    {"loss": m_["loss"], "grad_norm": m_["grad_norm"],
+                     "lr": conf.train.optim.params.lr,
+                     "imgs_per_sec": timer.throughput(conf.train.batch_size)},
+                    s_,
+                )
+            pending.clear()
         if check_freq(conf.train.save_freq, step):
             save_ckpt()
         if check_freq(conf.train.sample_freq, step):

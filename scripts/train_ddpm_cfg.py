@@ -151,14 +151,21 @@ def main():
 
     logger.info("Start training...")
     gen = get_data_generator(loader)
+    pending = []
     while step < conf.train.n_steps:
         x, y = next(gen)
         batch = (shard_batch(np.asarray(x, np.float32), mesh),
                  shard_batch(np.asarray(y, np.int32), mesh))
         state, metrics = train_step(state, batch, jax.random.fold_in(root_rng, step))
-        tracker.track_status("Train", {"loss": metrics["loss"],
-                                       "grad_norm": metrics["grad_norm"],
-                                       "lr": conf.train.optim.params.lr}, step)
+        # defer the host metric sync to print_freq boundaries
+        pending.append((step, metrics))
+        if check_freq(conf.train.print_freq, step) or check_freq(conf.train.save_freq, step) \
+                or check_freq(conf.train.sample_freq, step) or step + 1 == conf.train.n_steps:
+            for s_, m_ in pending:
+                tracker.track_status("Train", {"loss": m_["loss"],
+                                               "grad_norm": m_["grad_norm"],
+                                               "lr": conf.train.optim.params.lr}, s_)
+            pending.clear()
         if check_freq(conf.train.save_freq, step):
             ckpt_lib.save_checkpoint(os.path.join(exp_dir, "ckpt"), step, state)
         if check_freq(conf.train.sample_freq, step):
