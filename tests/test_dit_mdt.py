@@ -270,3 +270,17 @@ def test_mdt_masked_training_path_runs():
     out = model.apply(params, x, t, y, enable_mask=True, len_keep=10,
                       mask_rng=jax.random.PRNGKey(1))
     assert out.shape == (2, 8, 8, 8)
+
+
+def test_mdt_forward_with_cfg_power_cosine():
+    model = MDTv2(input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=6,
+                  num_heads=4, num_classes=5, mask_ratio=0.3, decode_layer=2)
+    x = jnp.zeros((4, 8, 8, 4))
+    t = jnp.full((4,), 500, jnp.int32)
+    y = jnp.asarray([1, 2, 5, 5])
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    out = model.apply(params, x, t, y, method=model.forward_with_cfg,
+                      cfg_scale=4.0, diffusion_steps=1000)
+    assert out.shape == (4, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(out[..., :3][:2]), np.asarray(out[..., :3][2:]),
+                               atol=1e-6)
