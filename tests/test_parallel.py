@@ -138,3 +138,27 @@ def test_label_dropout_loss(tiny_setup):
     )
     loss = loss_fn(params, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(loss))
+
+
+def test_dp_sampling_matches_single_device(tiny_setup):
+    """Data-parallel (8-way) DDIM sampling == single-device sampling."""
+    from dmtpu.diffusions import DDIM
+    from dmtpu.parallel.mesh import batch_sharding, replicated_sharding
+
+    model, _, params, _, _ = tiny_setup[0], None, tiny_setup[2], None, None
+    diffuser = DDIM(total_steps=100, respace_type="uniform", respace_steps=5)
+
+    def sample(p, noise):
+        return diffuser.sample(
+            lambda x, t, **kw: model.apply(p, x, t), noise, jax.random.PRNGKey(0))
+
+    noise = jax.random.normal(jax.random.PRNGKey(1), (16, 8, 8, 3))
+    single = jax.jit(sample)(params, noise)
+
+    mesh = cpu_mesh()
+    bsh = batch_sharding(mesh)
+    rep = replicated_sharding(mesh)
+    p8 = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+    n8 = jax.device_put(noise, bsh)
+    multi = jax.jit(sample)(p8, n8)
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi), rtol=2e-5, atol=2e-5)
