@@ -77,10 +77,15 @@ def convert_by_structure(
     init_params: Dict,
     rename: Optional[Callable[[str], Optional[str]]] = None,
     strict: bool = True,
+    pad_null_class_row: bool = True,
 ) -> Dict:
     """Map a torch state_dict onto the structure of ``init_params``.
 
     ``rename(torch_key)`` may rewrite the key or return None to drop it.
+    ``pad_null_class_row``: when an embedding table is exactly one row short
+    of the target (our class embeddings carry an extra zero-initialised null
+    row standing in for the reference's ``y=None``), pad a zero row instead
+    of failing — this is how reference class-conditional checkpoints load.
     Returns a params tree with the same structure as ``init_params`` (minus
     the top-level 'params' wrapper, which is preserved if present).
     """
@@ -133,6 +138,10 @@ def convert_by_structure(
                     # try the un-transposed variant (e.g. square embeddings)
                     if np.shape(val) == tuple(want):
                         arr = val
+                    elif (pad_null_class_row and name == "embedding"
+                          and val.ndim == 2 and len(want) == 2
+                          and val.shape[0] + 1 == want[0] and val.shape[1] == want[1]):
+                        arr = np.concatenate([val, np.zeros((1, val.shape[1]), val.dtype)])
                     else:
                         raise ValueError(
                             f"shape mismatch for {orig_key} -> {norm}: "

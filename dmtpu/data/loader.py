@@ -80,6 +80,18 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def _put(item) -> bool:
+            # bounded put that can be interrupted by `stop` (a blocked
+            # q.put would otherwise wedge the producer thread forever when
+            # the consumer abandons the iterator mid-epoch)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(self.num_workers) as pool:
@@ -87,8 +99,9 @@ class DataLoader:
                     if stop.is_set():
                         break
                     items = list(pool.map(lambda i: self.dataset[int(i)], b))
-                    q.put(_collate(items))
-            q.put(None)
+                    if not _put(_collate(items)):
+                        return
+            _put(None)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

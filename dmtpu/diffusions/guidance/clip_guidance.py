@@ -29,39 +29,40 @@ class CLIPGuidance(BaseGuidance):
         self,
         guidance_weight: float = 1.0,
         clip_pretrained: str = "openai/clip-vit-base-patch32",
-        clip_model: Any = None,
-        clip_params: Any = None,
+        text_features_fn: Any = None,
+        image_features_fn: Any = None,
         tokenizer: Any = None,
         image_size: int = 224,
         **kwargs: Any,
     ):
-        """Either pass a ready (clip_model, clip_params, tokenizer) triple, or
-        a local ``clip_pretrained`` path loadable by HF transformers (zero-
-        egress environments must point at a local checkout)."""
+        """Either pass ready feature callables
+        (``text_features_fn(input_ids, attention_mask) -> [B, D]``,
+        ``image_features_fn(pixel_values_nchw) -> [B, D]``) plus a tokenizer,
+        or a local ``clip_pretrained`` path loadable by HF transformers
+        (zero-egress environments must point at a local checkout)."""
         super().__init__(**kwargs)
         self.guidance_weight = float(guidance_weight)
         self.image_size = int(image_size)
-        if clip_model is None:
+        if text_features_fn is None or image_features_fn is None:
             from transformers import CLIPTokenizer, FlaxCLIPModel
 
             model = FlaxCLIPModel.from_pretrained(clip_pretrained)
-            clip_model, clip_params = model.module, model.params
+            # feature extraction lives on the MODEL wrapper (the bare Flax
+            # module has no get_*_features methods)
+            text_features_fn = lambda ids, mask: model.get_text_features(  # noqa: E731
+                input_ids=ids, attention_mask=mask)
+            image_features_fn = lambda px: model.get_image_features(pixel_values=px)  # noqa: E731
             tokenizer = CLIPTokenizer.from_pretrained(clip_pretrained)
-        self.clip_model = clip_model
-        self.clip_params = clip_params
+        self._text_features = text_features_fn
+        self._image_features_raw = image_features_fn
         self.tokenizer = tokenizer
         self.text_embed: Optional[Array] = None
 
     def set_text(self, text: str):
         """Precompute the (normalised) text embedding once."""
         tokens = self.tokenizer([text], return_tensors="np", padding=True)
-        feats = self.clip_model.apply(
-            {"params": self.clip_params},
-            input_ids=jnp.asarray(tokens["input_ids"]),
-            attention_mask=jnp.asarray(tokens["attention_mask"]),
-            method=self.clip_model.get_text_features
-            if hasattr(self.clip_model, "get_text_features") else None,
-        )
+        feats = self._text_features(jnp.asarray(tokens["input_ids"]),
+                                    jnp.asarray(tokens["attention_mask"]))
         self.text_embed = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
     def set_text_embed(self, text_embed: Array):
@@ -75,13 +76,7 @@ class CLIPGuidance(BaseGuidance):
         img = (img - _CLIP_MEAN) / _CLIP_STD
         # FlaxCLIP expects NCHW pixel_values
         pixel_values = jnp.transpose(img, (0, 3, 1, 2))
-        feats = self.clip_model.apply(
-            {"params": self.clip_params},
-            pixel_values=pixel_values,
-            method=self.clip_model.get_image_features
-            if hasattr(self.clip_model, "get_image_features") else None,
-        )
-        return feats
+        return self._image_features_raw(pixel_values)
 
     def cond_fn_mean(self, out, xt, c, rng):
         if self.text_embed is None:

@@ -67,7 +67,15 @@ class HeunSampler(EulerSampler):
         d = (d1 + d2) / 2.0
         bar_sample = bar_xt + d * (c["sigma_prev"] - c["sigma"])
         sample = bar_sample / c["sqrt_1p_sigma_prev2"]
-        return {"sample": sample, "pred_x0": p2["pred_x0"]}
+        # full key set so `collect` accepts the same names as other samplers
+        return {
+            "sample": sample,
+            "mean": sample,
+            "var": jnp.zeros((), jnp.float32),
+            "pred_x0": p2["pred_x0"],
+            "pred_eps": p2["pred_eps"],
+            "reverse_eps": jnp.zeros_like(sample),
+        }
 
     def sample_loop(
         self,

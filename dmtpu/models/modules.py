@@ -22,6 +22,7 @@ import numpy as np
 from flax import linen as nn
 
 from dmtpu.ops.attention import flash_mha
+from dmtpu.ops.groupnorm import group_norm_silu
 
 Array = jax.Array
 
@@ -171,3 +172,19 @@ class AdaGN(nn.Module):
         yb = yb[:, None, None, :]
         h = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5, name="gn")(x)
         return h * (1.0 + ys) + yb
+
+
+class FusedGNSiLU(nn.Module):
+    """GroupNorm(+SiLU) through the Pallas fused kernel (param-compatible
+    with ``nn.GroupNorm``: leaves are ``scale``/``bias``)."""
+
+    groups: int = 32
+    silu: bool = True
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        return group_norm_silu(x, scale, bias, self.groups, self.eps, self.silu)

@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from dmtpu.models.modules import (
     Conv,
+    FusedGNSiLU,
     Dense,
     Downsample,
     SelfAttentionBlock,
@@ -34,17 +35,25 @@ class ResBlock(nn.Module):
     out_channels: int
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    fused_gn: bool = False  # Pallas fused GroupNorm+SiLU (param-compatible)
 
     @nn.compact
     def __call__(self, x: Array, time_embed: Optional[Array] = None, *, train: bool = False) -> Array:
         in_ch = x.shape[-1]
         shortcut = x if in_ch == self.out_channels else Conv(self.out_channels, 1, 1, 0, dtype=self.dtype, name="shortcut")(x)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
-        h = Conv(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv1")(jax.nn.silu(h))
+        if self.fused_gn:
+            h = FusedGNSiLU(32, name="norm1")(x).astype(x.dtype)
+        else:
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
+            h = jax.nn.silu(h)
+        h = Conv(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv1")(h)
         if time_embed is not None:
             h = h + Dense(self.out_channels, dtype=self.dtype, name="proj")(jax.nn.silu(time_embed))[:, None, None, :].astype(h.dtype)
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h).astype(h.dtype)
-        h = jax.nn.silu(h)
+        if self.fused_gn:
+            h = FusedGNSiLU(32, name="norm2")(h).astype(h.dtype)
+        else:
+            h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=jnp.float32, name="norm2")(h).astype(h.dtype)
+            h = jax.nn.silu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = Conv(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
         return h + shortcut
@@ -62,6 +71,7 @@ class UNet(nn.Module):
     n_heads: int = 1
     dropout: float = 0.1
     dtype: Optional[jnp.dtype] = None
+    fused_gn: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t: Array, *, train: bool = False) -> Array:
@@ -79,7 +89,7 @@ class UNet(nn.Module):
         for i in range(n_stages):
             out_dim = self.dim * self.dim_mults[i]
             for j in range(self.num_res_blocks):
-                h = ResBlock(out_dim, self.dropout, dtype=self.dtype, name=f"down_{i}_res_{j}")(h, emb, train=train)
+                h = ResBlock(out_dim, self.dropout, dtype=self.dtype, fused_gn=self.fused_gn, name=f"down_{i}_res_{j}")(h, emb, train=train)
                 if self.use_attn[i]:
                     h = SelfAttentionBlock(out_dim, self.n_heads, dtype=self.dtype, name=f"down_{i}_attn_{j}")(h)
                 skips.append(h)
@@ -88,16 +98,16 @@ class UNet(nn.Module):
                 skips.append(h)
 
         # bottleneck
-        h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, name="mid_res_1")(h, emb, train=train)
+        h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, fused_gn=self.fused_gn, name="mid_res_1")(h, emb, train=train)
         h = SelfAttentionBlock(h.shape[-1], 1, dtype=self.dtype, name="mid_attn")(h)
-        h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, name="mid_res_2")(h, emb, train=train)
+        h = ResBlock(h.shape[-1], self.dropout, dtype=self.dtype, fused_gn=self.fused_gn, name="mid_res_2")(h, emb, train=train)
 
         # up path
         for idx, i in enumerate(range(n_stages - 1, -1, -1)):
             out_dim = self.dim * self.dim_mults[i]
             for j in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock(out_dim, self.dropout, dtype=self.dtype, name=f"up_{i}_res_{j}")(h, emb, train=train)
+                h = ResBlock(out_dim, self.dropout, dtype=self.dtype, fused_gn=self.fused_gn, name=f"up_{i}_res_{j}")(h, emb, train=train)
                 if self.use_attn[i]:
                     h = SelfAttentionBlock(out_dim, self.n_heads, dtype=self.dtype, name=f"up_{i}_attn_{j}")(h)
             if i > 0:

@@ -18,7 +18,7 @@ Semantics replicated exactly (verified against the reference in tests):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple, Union
+from typing import Callable, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -115,32 +115,6 @@ def make_resize_matrix(
     rows = np.repeat(np.arange(out_sz), k)
     np.add.at(W, (rows[valid.ravel()], fov.ravel()[valid.ravel()]), weights.ravel()[valid.ravel()])
     return W
-
-
-def _resolve_sizes(
-    in_shape: Sequence[int],
-    scale_factors,
-    out_shape,
-) -> Tuple[list, list]:
-    """Default policies of the reference's set_scale_and_out_sz."""
-    nd = len(in_shape)
-    if scale_factors is None and out_shape is None:
-        raise ValueError("either scale_factors or out_shape must be given")
-    if out_shape is not None:
-        out_shape = list(out_shape)
-        out_shape = list(in_shape[: nd - len(out_shape)]) + out_shape
-        if scale_factors is None:
-            scale_factors = [o / i for o, i in zip(out_shape, in_shape)]
-    if scale_factors is not None:
-        if np.isscalar(scale_factors):
-            # scalar applies to the two trailing *spatial* dims (reference
-            # semantics: scalar -> [s, s] then left-padded with 1s)
-            scale_factors = [scale_factors, scale_factors]
-        scale_factors = list(scale_factors)
-        scale_factors = [1] * (nd - len(scale_factors)) + scale_factors
-        if out_shape is None:
-            out_shape = [int(math.ceil(s * i)) for s, i in zip(scale_factors, in_shape)]
-    return scale_factors, out_shape
 
 
 def resize(

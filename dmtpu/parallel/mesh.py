@@ -63,6 +63,19 @@ def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with the data sharding."""
+    """Assemble a per-host batch into the mesh's data sharding.
+
+    Single-host: a plain sharded device_put.  Multi-host: each process holds
+    only its local slice, so the global array must be assembled with
+    ``jax.make_array_from_process_local_data`` — device_put of a local batch
+    against a global sharding would silently shrink the global batch to the
+    per-host size.
+    """
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    import numpy as _np
+
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(s, _np.asarray(x)), batch
+    )

@@ -60,3 +60,62 @@ def test_group_norm_silu_pallas_interpret():
         got = groupnorm._pallas_forward(x, scale, bias, 32, 1e-5, True)
     want = group_norm_silu_reference(x, scale, bias, 32, 1e-5, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gn_unet_matches_standard():
+    """UNet(fused_gn=True) == UNet(fused_gn=False) with identical params."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmtpu.models import UNet
+
+    m0 = UNet(dim=32, dim_mults=(1, 2), use_attn=(False, True), num_res_blocks=1, dropout=0.0)
+    m1 = UNet(dim=32, dim_mults=(1, 2), use_attn=(False, True), num_res_blocks=1, dropout=0.0,
+              fused_gn=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+    t = jnp.asarray([3, 9])
+    p = m0.init(jax.random.PRNGKey(1), x, t)
+    out0 = m0.apply(p, x, t)
+    out1 = m1.apply(p, x, t)  # same params tree (scale/bias names match)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=2e-5, atol=2e-5)
+
+
+def test_converter_pads_null_class_row():
+    """A reference-sized class embedding (no null row) loads with zero pad."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmtpu.convert import convert_by_structure
+    from dmtpu.models import UNetCategorialAdaGN
+
+    model = UNetCategorialAdaGN(dim=32, dim_mults=(1, 2), use_attn=(False, False), num_classes=4)
+    init = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)),
+                      jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    # round-trip our own params into a torch-style dict with 4 rows (no null)
+    flat = {}
+
+    def walk(tree, prefix=""):
+        for k, v in tree.items():
+            name = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, name)
+            else:
+                flat[name] = np.asarray(v)
+
+    walk(init["params"])
+    sd = {}
+    for k, v in flat.items():
+        tk = k.replace("__", ".")
+        if tk.endswith(".kernel"):
+            base = tk[: -len(".kernel")]
+            sd[base + ".weight"] = np.transpose(v, (3, 2, 0, 1)) if v.ndim == 4 else v.T
+        elif tk.endswith(".scale"):
+            sd[tk[: -len(".scale")] + ".weight"] = v
+        elif tk.endswith(".embedding"):
+            sd[tk[: -len(".embedding")] + ".weight"] = v[:-1]  # drop the null row
+        else:
+            sd[tk.replace(".bias", "") + ".bias"] = v
+    params = convert_by_structure(sd, init)
+    emb = np.asarray(params["params"]["class_embed"]["embedding"])
+    assert emb.shape[0] == 5
+    np.testing.assert_array_equal(emb[-1], 0)

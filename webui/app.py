@@ -104,7 +104,11 @@ class App:
                 diffuser = SAMPLERS[sampler](**dp)
 
                 def fn(p, noise, k, yy):
-                    margs = (lambda x, t, **kw: self.model.apply(p, x, t, jnp.zeros((x.shape[0],), jnp.int32))) \
+                    # unconditional on a conditional model == the null class
+                    # row (y = num_classes), NOT class 0
+                    null = self.num_classes
+                    margs = (lambda x, t, **kw: self.model.apply(
+                        p, x, t, jnp.full((x.shape[0],), null, jnp.int32))) \
                         if self.cond else (lambda x, t, **kw: self.model.apply(p, x, t))
                     return diffuser.sample(margs, noise, k)
             self._cache[key] = jax.jit(fn)
