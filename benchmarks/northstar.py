@@ -1,0 +1,119 @@
+"""North-star benchmark models + timing (BASELINE.md "Rebuild performance targets").
+
+Two workloads, random-init weights (throughput only — conversion parity is
+tested separately in tests/):
+
+- **SD1.5 512²**: the v1-inference.yaml UNet (reference:
+  models/stablediffusion/unet.py:422-808 instantiated per
+  weights/stablediffusion/v1-inference.yaml), DDIM-50 over 64×64×4 latents.
+  XLA-counted cost: 788.7 GFLOPs/step (2 flops per MAC).
+- **DiT-XL/2 256²**: reference models/dit/model.py:332 config, DDIM-50 over
+  32×32×4 latents.  XLA-counted cost: 237.9 GFLOPs/step (the DiT paper's
+  "118.6 Gflops" counts MACs, i.e. the same number).
+
+A100 baselines (documented derivation, since the reference publishes no
+throughput numbers and this image has zero egress):
+
+- A100-80GB bf16/fp16 dense peak = 312 TFLOPS.  Eager PyTorch + xformers /
+  SDPA inference at batch ≥8 typically sustains 20-35% MFU on LDM UNets and
+  30-40% on ViTs (it has no cross-step fusion; each step relaunches kernels).
+- SD1.5: 39.4 TF/sample (50 × 788.7 GF) → at 20% MFU = 1.58 samples/s.
+  **Baseline: 1.6 samples/s/chip.**
+- DiT-XL/2: 11.9 TF/sample (50 × 237.9 GF) → at 35% MFU = 9.2 samples/s.
+  **Baseline: 9.0 samples/s/chip.**
+
+TPU v5e (1 chip) bf16 peak = 197 TFLOPS; parity therefore requires reaching
+~32% (SD1.5) / ~54% (DiT) MFU on v5e — the MFU each workload sustains is
+printed alongside throughput.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+# XLA-counted GFLOPs per model forward (see module docstring)
+SD15_GFLOPS_PER_STEP = 788.7
+DIT_XL2_GFLOPS_PER_STEP = 237.9
+A100_BASELINE_SD15 = 1.6   # samples/s/chip, derivation above
+A100_BASELINE_DIT = 9.0    # samples/s/chip, derivation above
+V5E_PEAK_TFLOPS = 197.0
+
+
+def build_sd15_unet(dtype=jnp.bfloat16):
+    """SD1.5 UNet per reference weights/stablediffusion/v1-inference.yaml."""
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=dtype)
+
+    def init(rng, batch):
+        x = jnp.zeros((batch, 64, 64, 4))
+        t = jnp.zeros((batch,), jnp.int32)
+        ctx = jnp.zeros((batch, 77, 768))
+        return model.init(rng, x, t, ctx)
+
+    def apply_fn(params, x, t, ctx):
+        return model.apply(params, x, t, ctx)
+
+    return model, init, apply_fn
+
+
+def build_dit_xl2(dtype=jnp.bfloat16):
+    """DiT-XL/2 at 256² (32×32 latents) per reference models/dit/model.py:332."""
+    from dmtpu.models.dit import dit_model
+
+    model = dit_model("DiT-XL/2", input_size=32, dtype=dtype)
+
+    def init(rng, batch):
+        x = jnp.zeros((batch, 32, 32, 4))
+        t = jnp.zeros((batch,), jnp.int32)
+        y = jnp.zeros((batch,), jnp.int32)
+        return model.init(rng, x, t, y)
+
+    def apply_fn(params, x, t, ctx):
+        # ctx unused; class label fixed (conditioning cost is in the embed)
+        return model.apply(params, x, t, jnp.zeros((x.shape[0],), jnp.int32))
+
+    return model, init, apply_fn
+
+
+def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
+                reps: int = 5, ctx_dim: int = 768) -> Tuple[float, float]:
+    """Return (samples/sec, seconds/best-rep) for a scanned DDIM-steps loop.
+
+    Timing uses a host transfer (float(sum)) per rep: on the axon transport
+    ``block_until_ready`` has been observed returning early.
+    """
+    from dmtpu.diffusions import DDIM
+
+    sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=steps)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: init(r, batch))(rng)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
+
+    @jax.jit
+    def sample(p, noise, key):
+        return sampler.sample(lambda x, t, **kw: apply_fn(p, x, t, ctx), noise, key)
+
+    noise = jax.random.normal(rng, (batch, latent_hw, latent_hw, 4))
+    float(sample(params, noise, rng).sum())  # compile + warm-up
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = sample(params, noise, jax.random.fold_in(rng, i))
+        float(out.sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch / dt, dt
+
+
+def mfu(samples_per_sec: float, gflops_per_step: float, steps: int = 50,
+        peak_tflops: float = V5E_PEAK_TFLOPS) -> float:
+    return samples_per_sec * gflops_per_step * steps / (peak_tflops * 1e3)

@@ -60,6 +60,29 @@ def _zeros_conv(features, kernel, name, strides=1, padding=1, dtype=None):
                    dtype=dtype, name=name)
 
 
+def remat_call(mod: nn.Module, *args, train: Optional[bool] = None):
+    """Gradient checkpointing: run the submodule under ``jax.checkpoint`` so
+    its intermediates are recomputed in the backward pass instead of saved
+    (reference: models/adm/nn.py:124-170).  Param tree and gradients are
+    identical to the plain call; only peak memory changes.  ``train`` stays a
+    Python static via closure (it gates dropout determinism)."""
+    if train is None:
+        return nn.remat(lambda m, *a: m(*a))(mod, *args)
+    return nn.remat(lambda m, *a: m(*a, train=train))(mod, *args)
+
+
+def resolve_torso_dtype(torso_dtype, use_fp16: bool, use_bf16: bool = False):
+    """Map the reference's fp16/bf16 torso-conversion flags (reference:
+    models/adm/unet.py:21-38, models/stablediffusion/unet.py:466-467) onto a
+    compute-dtype policy.  fp16 configs get bfloat16 on TPU — same memory,
+    MXU-native, no loss-scaling needed."""
+    if torso_dtype is not None:
+        return torso_dtype
+    if use_fp16 or use_bf16:
+        return jnp.bfloat16
+    return None
+
+
 class _Upsample(nn.Module):
     """(reference: models/adm/unet.py:97-130)"""
 
@@ -239,15 +262,15 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = False
     resblock_updown: bool = False
     use_new_attention_order: bool = False
-    use_fp16: bool = False        # accepted for config parity; use torso_dtype
-    use_checkpoint: bool = False  # remat the big blocks
-    torso_dtype: Any = None       # e.g. jnp.bfloat16 on TPU
+    use_fp16: bool = False        # fp16 torso configs → bfloat16 torso on TPU
+    use_checkpoint: bool = False  # jax.checkpoint (remat) ResBlocks + attention
+    torso_dtype: Any = None       # explicit override, e.g. jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: Array, timesteps: Array, y: Optional[Array] = None,
                  *, train: bool = False) -> Array:
         heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
-        dt = self.torso_dtype
+        dt = resolve_torso_dtype(self.torso_dtype, self.use_fp16)
         ted = self.model_channels * 4
 
         emb = timestep_embedding(timesteps, self.model_channels)
@@ -262,6 +285,14 @@ class UNetModel(nn.Module):
             return AttentionBlock(heads, self.num_head_channels,
                                   self.use_new_attention_order, dtype=dt, name=idx_name)
 
+        ckpt = self.use_checkpoint
+
+        def res(rb: nn.Module, hh: Array) -> Array:
+            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+
+        def att(ab: nn.Module, hh: Array) -> Array:
+            return remat_call(ab, hh) if ckpt else ab(hh)
+
         h = nn.Conv(int(self.channel_mult[0] * self.model_channels), (3, 3), padding=1,
                     dtype=dt, name="input_blocks__0__0")(x.astype(dt) if dt else x)
         hs = [h]
@@ -270,18 +301,18 @@ class UNetModel(nn.Module):
         blk = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = ResBlock(int(mult * self.model_channels), self.dropout,
-                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                             name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                h = res(ResBlock(int(mult * self.model_channels), self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                 name=f"input_blocks__{blk}__0"), h)
                 ch = int(mult * self.model_channels)
                 if ds in self.attention_resolutions:
-                    h = attn(f"input_blocks__{blk}__1", self.num_heads)(h)
+                    h = att(attn(f"input_blocks__{blk}__1", self.num_heads), h)
                 hs.append(h)
                 blk += 1
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                                 down=True, dtype=dt, name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                    h = res(ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                                     down=True, dtype=dt, name=f"input_blocks__{blk}__0"), h)
                 else:
                     h = _Downsample(ch, self.conv_resample, dtype=dt,
                                     name=f"input_blocks__{blk}__0")(h)
@@ -289,30 +320,30 @@ class UNetModel(nn.Module):
                 ds *= 2
                 blk += 1
 
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__0")(h, emb, train=train)
-        h = attn("middle_block__1", self.num_heads)(h)
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__2")(h, emb, train=train)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__0"), h)
+        h = att(attn("middle_block__1", self.num_heads), h)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__2"), h)
 
         blk = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(int(mult * self.model_channels), self.dropout,
-                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                             name=f"output_blocks__{blk}__0")(h, emb, train=train)
+                h = res(ResBlock(int(mult * self.model_channels), self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                 name=f"output_blocks__{blk}__0"), h)
                 ch = int(mult * self.model_channels)
                 j = 1
                 if ds in self.attention_resolutions:
-                    h = attn(f"output_blocks__{blk}__{j}", heads_up)(h)
+                    h = att(attn(f"output_blocks__{blk}__{j}", heads_up), h)
                     j += 1
                 if level and i == self.num_res_blocks:
                     if self.resblock_updown:
-                        h = ResBlock(ch, self.dropout,
-                                     use_scale_shift_norm=self.use_scale_shift_norm,
-                                     up=True, dtype=dt,
-                                     name=f"output_blocks__{blk}__{j}")(h, emb, train=train)
+                        h = res(ResBlock(ch, self.dropout,
+                                         use_scale_shift_norm=self.use_scale_shift_norm,
+                                         up=True, dtype=dt,
+                                         name=f"output_blocks__{blk}__{j}"), h)
                     else:
                         h = _Upsample(ch, self.conv_resample, dtype=dt,
                                       name=f"output_blocks__{blk}__{j}")(h)
@@ -372,18 +403,27 @@ class EncoderUNetModel(nn.Module):
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     use_fp16: bool = False
+    use_checkpoint: bool = False
     pool: str = "adaptive"
     torso_dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, timesteps: Array, *, train: bool = False) -> Array:
-        dt = self.torso_dtype
+        dt = resolve_torso_dtype(self.torso_dtype, self.use_fp16)
         ted = self.model_channels * 4
         emb = timestep_embedding(timesteps, self.model_channels)
         emb = nn.Dense(ted, name="time_embed__0")(emb)
         emb = nn.Dense(ted, name="time_embed__2")(jax.nn.silu(emb))
 
         results = []
+
+        ckpt = self.use_checkpoint
+
+        def res(rb: nn.Module, hh: Array) -> Array:
+            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+
+        def att(ab: nn.Module, hh: Array) -> Array:
+            return remat_call(ab, hh) if ckpt else ab(hh)
 
         def pool_feat(z):
             return z.astype(x.dtype).mean(axis=(1, 2))
@@ -397,21 +437,21 @@ class EncoderUNetModel(nn.Module):
         blk = 1
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
-                h = ResBlock(int(mult * self.model_channels), self.dropout,
-                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                             name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                h = res(ResBlock(int(mult * self.model_channels), self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                 name=f"input_blocks__{blk}__0"), h)
                 ch = int(mult * self.model_channels)
                 if ds in self.attention_resolutions:
-                    h = AttentionBlock(self.num_heads, self.num_head_channels,
-                                       self.use_new_attention_order, dtype=dt,
-                                       name=f"input_blocks__{blk}__1")(h)
+                    h = att(AttentionBlock(self.num_heads, self.num_head_channels,
+                                           self.use_new_attention_order, dtype=dt,
+                                           name=f"input_blocks__{blk}__1"), h)
                 if self.pool.startswith("spatial"):
                     results.append(pool_feat(h))
                 blk += 1
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                                 down=True, dtype=dt, name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                    h = res(ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                                     down=True, dtype=dt, name=f"input_blocks__{blk}__0"), h)
                 else:
                     h = _Downsample(ch, self.conv_resample, dtype=dt,
                                     name=f"input_blocks__{blk}__0")(h)
@@ -420,12 +460,12 @@ class EncoderUNetModel(nn.Module):
                 ds *= 2
                 blk += 1
 
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__0")(h, emb, train=train)
-        h = AttentionBlock(self.num_heads, self.num_head_channels,
-                           self.use_new_attention_order, dtype=dt, name="middle_block__1")(h)
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__2")(h, emb, train=train)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__0"), h)
+        h = att(AttentionBlock(self.num_heads, self.num_head_channels,
+                               self.use_new_attention_order, dtype=dt, name="middle_block__1"), h)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__2"), h)
 
         if self.pool == "adaptive":
             h = _gn32(h.astype(x.dtype), "out__0")

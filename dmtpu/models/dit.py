@@ -133,6 +133,7 @@ class DiT(nn.Module):
     class_dropout_prob: float = 0.1
     num_classes: int = 1000
     learn_sigma: bool = True
+    use_checkpoint: bool = False  # jax.checkpoint each DiTBlock (training memory)
     dtype: Any = None
 
     @property
@@ -170,8 +171,12 @@ class DiT(nn.Module):
         c = te + ye
 
         for i in range(self.depth):
-            tokens = DiTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                              name=f"blocks__{i}")(tokens, c)
+            blk = DiTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                           name=f"blocks__{i}")
+            if self.use_checkpoint:
+                tokens = nn.remat(lambda m, a, b: m(a, b))(blk, tokens, c)
+            else:
+                tokens = blk(tokens, c)
         tokens = FinalLayer(p, self.out_channels, dtype=self.dtype, name="final_layer")(tokens, c)
 
         # unpatchify -> NHWC

@@ -123,6 +123,7 @@ class MDTv2(nn.Module):
     learn_sigma: bool = True
     mask_ratio: Optional[float] = None
     decode_layer: int = 4
+    use_checkpoint: bool = False  # jax.checkpoint each MDTBlock (training memory)
     dtype: Any = None
 
     @property
@@ -184,15 +185,22 @@ class MDTv2(nn.Module):
         else:
             mask = ids_restore = ids_keep = None
 
+        def blkcall(blk: nn.Module, z: Array, skip: Optional[Array] = None,
+                    ids_keep_: Optional[Array] = None) -> Array:
+            if self.use_checkpoint:
+                return nn.remat(lambda m, a, b, s, ik: m(a, b, skip=s, ids_keep=ik))(
+                    blk, z, c, skip, ids_keep_)
+            return blk(z, c, skip=skip, ids_keep=ids_keep_)
+
         skips = []
         for i in range(half_depth):
-            xx = MDTBlock(self.num_heads, num_patches, self.mlp_ratio, dtype=self.dtype,
-                          name=f"en_inblocks__{i}")(xx, c, ids_keep=ids_keep)
+            xx = blkcall(MDTBlock(self.num_heads, num_patches, self.mlp_ratio, dtype=self.dtype,
+                                  name=f"en_inblocks__{i}"), xx, ids_keep_=ids_keep)
             skips.append(xx)
         for i in range(half_depth):
-            xx = MDTBlock(self.num_heads, num_patches, self.mlp_ratio, skip=True,
-                          dtype=self.dtype, name=f"en_outblocks__{i}")(
-                xx, c, skip=skips.pop(), ids_keep=ids_keep)
+            xx = blkcall(MDTBlock(self.num_heads, num_patches, self.mlp_ratio, skip=True,
+                                  dtype=self.dtype, name=f"en_outblocks__{i}"),
+                         xx, skip=skips.pop(), ids_keep_=ids_keep)
 
         dec_pos = self.param("decoder_pos_embed",
                              lambda k, s: jnp.asarray(get_2d_sincos_pos_embed(s[-1], grid)[None], jnp.float32),
@@ -221,8 +229,8 @@ class MDTv2(nn.Module):
             xx = xx + dec_pos.astype(xx.dtype)
 
         for i in range(self.decode_layer):
-            xx = MDTBlock(self.num_heads, num_patches, self.mlp_ratio, skip=True,
-                          dtype=self.dtype, name=f"de_blocks__{i}")(xx, c, skip=input_skip)
+            xx = blkcall(MDTBlock(self.num_heads, num_patches, self.mlp_ratio, skip=True,
+                                  dtype=self.dtype, name=f"de_blocks__{i}"), xx, skip=input_skip)
 
         from dmtpu.models.dit import FinalLayer
 

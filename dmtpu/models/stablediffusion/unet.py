@@ -26,6 +26,8 @@ from dmtpu.models.adm import (
     _Upsample,
     _gn32,
     _zeros_conv,
+    remat_call,
+    resolve_torso_dtype,
     timestep_embedding,
 )
 from dmtpu.models.stablediffusion.attention import SpatialTransformer
@@ -91,7 +93,7 @@ class SDUNetModel(nn.Module):
         if isinstance(tdepth, int):
             tdepth = [tdepth] * len(self.channel_mult)
         tdepth_mid = self.transformer_depth_middle or tdepth[-1]
-        dt = self.torso_dtype
+        dt = resolve_torso_dtype(self.torso_dtype, self.use_fp16, self.use_bf16)
         ted = self.model_channels * 4
 
         emb = timestep_embedding(timesteps, self.model_channels)
@@ -126,6 +128,16 @@ class SDUNetModel(nn.Module):
                 heads_override or num_heads, dim_head, self.use_new_attention_order,
                 dtype=dt, name=idx_name)
 
+        ckpt = self.use_checkpoint
+
+        def res(rb: nn.Module, hh: Array) -> Array:
+            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+
+        def att(ab: nn.Module, hh: Array) -> Array:
+            if self.use_spatial_transformer:
+                return remat_call(ab, hh, context) if ckpt else ab(hh, context)
+            return remat_call(ab, hh) if ckpt else ab(hh)
+
         h = nn.Conv(self.model_channels, (3, 3), padding=1, dtype=dt,
                     name="input_blocks__0__0")(x.astype(dt) if dt else x)
         hs = [h]
@@ -134,22 +146,20 @@ class SDUNetModel(nn.Module):
         blk = 1
         for level, mult in enumerate(self.channel_mult):
             for nr in range(nrb[level]):
-                h = ResBlock(mult * self.model_channels, self.dropout,
-                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                             name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                h = res(ResBlock(mult * self.model_channels, self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                 name=f"input_blocks__{blk}__0"), h)
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
                     dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
                     if self.num_attention_blocks is None or nr < self.num_attention_blocks[level]:
-                        h = attn_or_st(f"input_blocks__{blk}__1", ch, tdepth[level], dsa)(
-                            h, context) if self.use_spatial_transformer else attn_or_st(
-                            f"input_blocks__{blk}__1", ch, tdepth[level], dsa)(h)
+                        h = att(attn_or_st(f"input_blocks__{blk}__1", ch, tdepth[level], dsa), h)
                 hs.append(h)
                 blk += 1
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
-                    h = ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                                 down=True, dtype=dt, name=f"input_blocks__{blk}__0")(h, emb, train=train)
+                    h = res(ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                                     down=True, dtype=dt, name=f"input_blocks__{blk}__0"), h)
                 else:
                     h = _Downsample(ch, self.conv_resample, dtype=dt,
                                     name=f"input_blocks__{blk}__0")(h)
@@ -157,37 +167,35 @@ class SDUNetModel(nn.Module):
                 ds *= 2
                 blk += 1
 
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__0")(h, emb, train=train)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__0"), h)
         if not self.disable_middle_transformer:
-            mid = attn_or_st("middle_block__1", ch, tdepth_mid, self.disable_middle_self_attn)
-            h = mid(h, context) if self.use_spatial_transformer else mid(h)
-        h = ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                     dtype=dt, name="middle_block__2")(h, emb, train=train)
+            h = att(attn_or_st("middle_block__1", ch, tdepth_mid, self.disable_middle_self_attn), h)
+        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                         dtype=dt, name="middle_block__2"), h)
 
         blk = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(nrb[level] + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResBlock(self.model_channels * mult, self.dropout,
-                             use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                             name=f"output_blocks__{blk}__0")(h, emb, train=train)
+                h = res(ResBlock(self.model_channels * mult, self.dropout,
+                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                 name=f"output_blocks__{blk}__0"), h)
                 ch = self.model_channels * mult
                 j = 1
                 if ds in self.attention_resolutions:
                     dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
                     if self.num_attention_blocks is None or i < self.num_attention_blocks[level]:
                         heads_up = self.num_heads_upsample if self.num_heads_upsample != -1 else None
-                        a = attn_or_st(f"output_blocks__{blk}__{j}", ch, tdepth[level], dsa,
-                                       heads_override=heads_up)
-                        h = a(h, context) if self.use_spatial_transformer else a(h)
+                        h = att(attn_or_st(f"output_blocks__{blk}__{j}", ch, tdepth[level], dsa,
+                                           heads_override=heads_up), h)
                         j += 1
                 if level and i == nrb[level]:
                     if self.resblock_updown:
-                        h = ResBlock(ch, self.dropout,
-                                     use_scale_shift_norm=self.use_scale_shift_norm,
-                                     up=True, dtype=dt,
-                                     name=f"output_blocks__{blk}__{j}")(h, emb, train=train)
+                        h = res(ResBlock(ch, self.dropout,
+                                         use_scale_shift_norm=self.use_scale_shift_norm,
+                                         up=True, dtype=dt,
+                                         name=f"output_blocks__{blk}__{j}"), h)
                     else:
                         h = _Upsample(ch, self.conv_resample, dtype=dt,
                                       name=f"output_blocks__{blk}__{j}")(h)

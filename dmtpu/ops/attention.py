@@ -78,7 +78,6 @@ def flash_mha(
     fa = _pallas_flash()
     use_flash = (
         fa is not None
-        and _on_tpu()
         and min(sq, sk) >= _FLASH_MIN_SEQ
         and sq % 128 == 0
         and sk % 128 == 0
@@ -87,10 +86,21 @@ def flash_mha(
     if not use_flash:
         return mha(q, k, v, scale=scale)
 
-    scale = (d ** -0.5) if scale is None else scale
-    # pallas kernel expects [B, H, S, D] and applies sm_scale to q.
-    qt = jnp.swapaxes(q, 1, 2)
-    kt = jnp.swapaxes(k, 1, 2)
-    vt = jnp.swapaxes(v, 1, 2)
-    out = fa.flash_attention(qt, kt, vt, sm_scale=scale, causal=False)
-    return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+    sm_scale = (d ** -0.5) if scale is None else scale
+
+    def _flash(q, k, v):
+        # pallas kernel expects [B, H, S, D] and applies sm_scale to q.
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = fa.flash_attention(qt, kt, vt, sm_scale=sm_scale, causal=False)
+        return jnp.swapaxes(out, 1, 2).astype(q.dtype)
+
+    # Branch per *lowering* platform: under the axon tunnel the global device
+    # list says TPU even when this computation is being compiled for the
+    # (virtual-mesh) CPU client, where the Pallas TPU kernel cannot lower.
+    return jax.lax.platform_dependent(
+        q, k, v,
+        tpu=_flash,
+        default=lambda q, k, v: mha(q, k, v, scale=scale),
+    )
