@@ -1,72 +1,64 @@
-"""Headline benchmark: DDIM-50 sampling throughput on the real chip.
+"""Headline benchmark: the BASELINE.json north-star metrics on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Current flagship: this repo's 35.7M-param CIFAR-10 UNet
-(configs/ddpm_cifar10.yaml model), DDIM 50 steps, batch 128 — the
-reference's fidelity-speed benchmark config (reference: docs/Samplers.md).
-``vs_baseline`` divides by an A100 eager-PyTorch estimate for the same
-model/sampler/batch (~128 samples/s: ~20ms/forward at batch 128 x 50 NFE),
-per BASELINE.md's ">= A100 parity per v5e chip" target.
+Workloads (random-init weights; DDIM-50 scanned sampler loop; bf16 torso with
+f32 GroupNorm/softmax islands):
+  - SD1.5 UNet 512² (64×64×4 latents), batch 16 — headline metric.
+  - DiT-XL/2 256² (32×32×4 latents), batch 32 — reported in "extra".
+
+``vs_baseline`` divides by a documented A100 estimate per model — the
+derivation (XLA-counted FLOPs × published-peak × typical eager-inference MFU)
+lives in benchmarks/northstar.py's module docstring.  MFU on this chip
+(v5e, 197 TFLOPS bf16) is reported for both.
 """
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
 
 from dmtpu.utils.setup import setup_jax  # noqa: E402
 
 setup_jax()
 
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+from northstar import (  # noqa: E402
+    A100_BASELINE_DIT,
+    A100_BASELINE_SD15,
+    DIT_XL2_GFLOPS_PER_STEP,
+    SD15_GFLOPS_PER_STEP,
+    build_dit_xl2,
+    build_sd15_unet,
+    mfu,
+    time_ddim50,
+)
 
-from dmtpu.diffusions import DDIM  # noqa: E402
-from dmtpu.models import UNet  # noqa: E402
-
-A100_BASELINE_SAMPLES_PER_SEC = 128.0
-BATCH = 256
-STEPS = 50
+SD_BATCH = 16
+DIT_BATCH = 32
 
 
 def main():
-    import jax.numpy as jnp_
-    model = UNet(dtype=jnp_.bfloat16)  # CIFAR-10 config; bf16 torso, f32 GN/softmax
-    sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=STEPS)
+    _, sd_init, sd_apply = build_sd15_unet()
+    sd_sps, _ = time_ddim50(sd_init, sd_apply, latent_hw=64, batch=SD_BATCH)
 
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1,), jnp.int32)
-    )
+    _, dit_init, dit_apply = build_dit_xl2()
+    dit_sps, _ = time_ddim50(dit_init, dit_apply, latent_hw=32, batch=DIT_BATCH)
 
-    @jax.jit
-    def sample(p, noise, key):
-        return sampler.sample(lambda x, t, **kw: model.apply(p, x, t, **kw), noise, key)
-
-    key = jax.random.PRNGKey(1)
-    noise = jax.random.normal(key, (BATCH, 32, 32, 3))
-    # warm-up; float() forces a host transfer — block_until_ready alone has
-    # been observed unreliable on the axon transport
-    float(sample(params, noise, key).sum())
-
-    # per-rep timing, best-of: the tunnelled transport adds high-variance
-    # host latency that a mean would fold into the device number
-    reps = 5
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = sample(params, noise, jax.random.fold_in(key, i))
-        float(out.sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-
-    sps = BATCH / dt
     print(json.dumps({
-        "metric": "DDIM-50 CIFAR10-UNet sampling throughput",
-        "value": round(sps, 2),
+        "metric": "DDIM-50 SD1.5 512x512 sampling throughput",
+        "value": round(sd_sps, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(sps / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(sd_sps / A100_BASELINE_SD15, 3),
+        "extra": {
+            "sd15_mfu_v5e": round(mfu(sd_sps, SD15_GFLOPS_PER_STEP), 3),
+            "sd15_batch": SD_BATCH,
+            "dit_xl2_256_samples_per_sec": round(dit_sps, 3),
+            "dit_xl2_vs_a100_baseline": round(dit_sps / A100_BASELINE_DIT, 3),
+            "dit_xl2_mfu_v5e": round(mfu(dit_sps, DIT_XL2_GFLOPS_PER_STEP), 3),
+            "dit_batch": DIT_BATCH,
+            "a100_baselines": {"sd15": A100_BASELINE_SD15, "dit_xl2": A100_BASELINE_DIT},
+        },
     }))
 
 

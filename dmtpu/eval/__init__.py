@@ -1,4 +1,4 @@
-"""Evaluation: on-device FID harness."""
+"""Evaluation: on-device FID/IS harness (CLIP-FID + classic Inception-FID)."""
 from dmtpu.eval.fid import (
     inception_score,
     CLIPFeatureExtractor,
@@ -6,6 +6,11 @@ from dmtpu.eval.fid import (
     compute_statistics,
     fid_from_features,
     frechet_distance,
+)
+from dmtpu.eval.inception import (
+    FIDInceptionV3,
+    InceptionFeatureExtractor,
+    convert_inception_checkpoint,
 )
 
 __all__ = [
@@ -15,4 +20,7 @@ __all__ = [
     "fid_from_features",
     "compute_fid",
     "CLIPFeatureExtractor",
+    "FIDInceptionV3",
+    "InceptionFeatureExtractor",
+    "convert_inception_checkpoint",
 ]

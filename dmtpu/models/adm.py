@@ -513,6 +513,13 @@ class UNetCombined(nn.Module):
         self.unet_uncond = UNetModel(name="unet_uncond", **kw_uncond)
 
     def __call__(self, x: Array, timesteps: Array, y: Optional[Array] = None, **kwargs) -> Array:
+        if self.is_initializing():
+            # materialise BOTH branches' params (flax only creates params for
+            # modules actually called; combine_weights needs the full tree)
+            y_init = y if y is not None else jnp.zeros((x.shape[0],), jnp.int32)
+            out_c = self.unet_cond(x, timesteps, y_init, **kwargs)
+            out_u = self.unet_uncond(x, timesteps, **kwargs)
+            return out_u if y is None else out_c
         if y is None:
             return self.unet_uncond(x, timesteps, **kwargs)
         return self.unet_cond(x, timesteps, y, **kwargs)

@@ -34,14 +34,29 @@ def mha(
     v: Array,
     scale: Optional[float] = None,
 ) -> Array:
-    """Multi-head attention, [B, S, H, D] -> [B, S, H, D]; f32 softmax."""
+    """Multi-head attention, [B, S, H, D] -> [B, S, H, D]; f32 softmax.
+
+    Logits are produced in the *input* dtype and the softmax is computed in
+    f32 on them — the reference's half-precision attention structure exactly
+    (reference: models/adm/unet.py:356-371: fp16 ``(q*scale)·(k*scale)``
+    einsum, ``softmax(weight.float())`` cast back).  f32 inputs therefore get
+    full-precision logits; bf16 torsos get bf16 logits, which halves the S×S
+    HBM traffic XLA materialises around the softmax (measured 2.8× on v5e at
+    S=256).  Only for small S×S though — at S=4096 XLA lays the bf16
+    intermediate out badly and f32 is 2× faster (measured), so big logits
+    stay f32 (long sequences normally ride the flash path anyway).
+    """
     *_, d = q.shape
+    sq, sk = q.shape[1], k.shape[1]
     scale = (d ** -0.5) if scale is None else scale
     root = scale ** 0.5
-    qf = q.astype(jnp.float32) * root
-    kf = k.astype(jnp.float32) * root
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf)
-    weights = jax.nn.softmax(logits, axis=-1)
+    if sq * sk <= 2 ** 21:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * root, k * root)
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk",
+                            q.astype(jnp.float32) * root,
+                            k.astype(jnp.float32) * root)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     out = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
     return out.astype(q.dtype)
 
@@ -76,8 +91,14 @@ def flash_mha(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     fa = _pallas_flash()
+    # The Pallas kernel pads head_dim to the 128-wide lane register; below
+    # d=64 that wastes >2× MXU work, and measured on v5e the XLA path
+    # overtakes it once enough (batch × heads) rows keep the MXU fed
+    # (B16·H8 S4096 d40: XLA 6.5ms vs flash 8.7ms; B4: flash 2.0 vs 5.9).
+    pad_wasteful = d < 64 and b * h >= 128
     use_flash = (
         fa is not None
+        and not pad_wasteful
         and min(sq, sk) >= _FLASH_MIN_SEQ
         and sq % 128 == 0
         and sk % 128 == 0
@@ -87,13 +108,19 @@ def flash_mha(
         return mha(q, k, v, scale=scale)
 
     sm_scale = (d ** -0.5) if scale is None else scale
+    # Default BlockSizes serialise badly at LDM shapes (S=4096, d≤80:
+    # 13.8ms → 2.0ms with 512/1024 blocks, measured on v5e).
+    bq = min(512, sq)
+    bk = min(1024, sk)
+    block_sizes = fa.BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1)
 
     def _flash(q, k, v):
         # pallas kernel expects [B, H, S, D] and applies sm_scale to q.
         qt = jnp.swapaxes(q, 1, 2)
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
-        out = fa.flash_attention(qt, kt, vt, sm_scale=sm_scale, causal=False)
+        out = fa.flash_attention(qt, kt, vt, sm_scale=sm_scale, causal=False,
+                                 block_sizes=block_sizes)
         return jnp.swapaxes(out, 1, 2).astype(q.dtype)
 
     # Branch per *lowering* platform: under the axon tunnel the global device

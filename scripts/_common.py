@@ -74,7 +74,11 @@ def dp_sharding():
     from dmtpu.parallel import make_mesh
     from dmtpu.parallel.mesh import batch_sharding, replicated_sharding
 
-    mesh = make_mesh()
+    # Respect an explicit default-device pin (tests run the 8-device CPU
+    # mesh this way); otherwise use all devices of the default backend.
+    dd = jax.config.jax_default_device
+    devices = jax.devices(dd.platform) if dd is not None else jax.devices()
+    mesh = make_mesh(devices)
     if mesh.devices.size <= 1:
         return mesh, (lambda x: x), (lambda p: p)
     bsh = batch_sharding(mesh)
@@ -84,3 +88,37 @@ def dp_sharding():
         lambda x: jax.device_put(x, bsh),
         lambda p: jax.tree.map(lambda a: jax.device_put(a, rep), p),
     )
+
+
+class DataParallelSampler:
+    """Data-parallel sampling over all local devices.
+
+    Replicates params once and shards the per-fold noise/conditioning batch
+    on its leading axis; XLA partitions the jitted sampler and gathers the
+    result (reference: scripts/sample_uncond.py:183-190's
+    amortize/accelerator.gather pattern).  Identity on a single chip.
+
+    Usage:
+        dp = DataParallelSampler(params)
+        batch, true_bs = dp.pad_shard((noise, y))
+        out = np.asarray(sample_jit(dp.params, *batch, key))[:true_bs]
+    """
+
+    def __init__(self, params):
+        self.mesh, self._shard, self._replicate = dp_sharding()
+        self.ndev = int(self.mesh.devices.size)
+        self.params = self._replicate(params)
+
+    def pad_shard(self, batch_tree):
+        """Pad every leaf's leading axis to a multiple of the device count
+        (wrapping rows) and shard it.  Returns (sharded_tree, true_batch)."""
+        leaves = jax.tree.leaves(batch_tree)
+        b = leaves[0].shape[0]
+        padded = b + (-b) % self.ndev
+        idx = np.arange(padded) % b
+
+        def one(x):
+            assert x.shape[0] == b, f"batch-axis mismatch: {x.shape[0]} != {b}"
+            return self._shard(jnp.asarray(x)[idx] if padded != b else jnp.asarray(x))
+
+        return jax.tree.map(one, batch_tree), b

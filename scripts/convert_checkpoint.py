@@ -36,6 +36,10 @@ def main():
     p.add_argument("--out", required=True)
     p.add_argument("--vae-weights", default=None)
     p.add_argument("--text-encoder-weights", default=None)
+    p.add_argument("--uncond-weights", default=None,
+                   help="second (unconditional) ADM checkpoint: fuses both "
+                        "into one UNetCombined tree (reference: "
+                        "models/adm/unet_combined.py:27 combine_weights)")
     args = p.parse_args()
     logger = get_logger()
 
@@ -51,6 +55,16 @@ def main():
     elif "dit.dit" in target or "mdt.mdt" in target:
         vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
         params = model.load_state_dict(sd, vae_sd)
+    elif args.uncond_weights is not None:
+        from dmtpu.convert.zoo import combine_adm_weights
+
+        uncond_sd = load_torch_weights(args.uncond_weights)
+        img_size = conf.get("data", {}).get("params", {}).get("img_size", 64)
+        x = jnp.zeros((1, img_size, img_size, 3))
+        t = jnp.zeros((1,), jnp.int32)
+        init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t,
+                              jnp.zeros((1,), jnp.int32))
+        params = combine_adm_weights(sd, uncond_sd, init)
     else:
         # plain flax module: structural conversion against init shapes
         img_size = conf.get("data", {}).get("params", {}).get("img_size", 32)

@@ -9,6 +9,7 @@ import sys
 sys.path.append(os.path.dirname(os.path.abspath(__file__)))
 
 from _common import (  # noqa: E402
+    DataParallelSampler,
     base_parser,
     diffusion_params,
     image_shape,
@@ -75,7 +76,10 @@ def main():
             (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
         )
         base_fn = None
-    logger.info(f"Loaded weights from {args.weights}")
+    dp = DataParallelSampler(params)
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def sample_jit(prm, noise, key, y):
@@ -102,7 +106,8 @@ def main():
             k = jax.random.fold_in(jax.random.fold_in(rng, c), i)
             noise = jax.random.normal(k, (bs,) + shape)
             y = jnp.full((bs,), c, jnp.int32)
-            out = np.clip(np.asarray(sample_jit(params, noise, k, y)), -1, 1)
+            (noise, y), bs = dp.pad_shard((noise, y))
+            out = np.clip(np.asarray(sample_jit(params, noise, k, y))[:bs], -1, 1)
             for img in out:
                 save_image(img, os.path.join(args.save_dir, f"class{c}", f"{idx}.png"))
                 idx += 1

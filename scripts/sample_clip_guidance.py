@@ -48,9 +48,13 @@ def main():
                             **diffusion_params(args, conf, **extra))
     diffuser.set_text(args.text)
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
-        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32)))
-    logger.info(f"Loaded weights from {args.weights}; text: {args.text!r}")
+    from _common import DataParallelSampler
+
+    dp = DataParallelSampler(load_model_params(
+        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32))))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights}; text: {args.text!r} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def sample_jit(prm, noise, key):
@@ -63,8 +67,8 @@ def main():
     idx = 0
     for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
         k = jax.random.fold_in(rng, i)
-        noise = jax.random.normal(k, (bs,) + shape)
-        out = np.clip(np.asarray(sample_jit(params, noise, k)), -1, 1)
+        noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
+        out = np.clip(np.asarray(sample_jit(params, noise, k))[:bs], -1, 1)
         for img in out:
             save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
             idx += 1

@@ -40,11 +40,15 @@ def main():
     shape = image_shape(conf)
     diffuser = DDIM(**diffusion_params(args, conf))
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
+    from _common import DataParallelSampler
+
+    dp = DataParallelSampler(load_model_params(
         args.weights, model,
         (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
-    )
-    logger.info(f"Loaded weights from {args.weights}")
+    ))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def translate_jit(prm, img):
@@ -62,7 +66,8 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     for i in range(0, n, args.batch_size):
         batch = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
-        out = np.clip(np.asarray(translate_jit(params, jnp.asarray(batch))), -1, 1)
+        batch_sh, nb = dp.pad_shard(jnp.asarray(batch))
+        out = np.clip(np.asarray(translate_jit(params, batch_sh))[:nb], -1, 1)
         for b in range(len(batch)):
             save_image_grid(np.stack([batch[b], out[b]]),
                             os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)

@@ -46,9 +46,13 @@ def main():
                     interp_method=args.interp_method,
                     **diffusion_params(args, conf, **extra))
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
-        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32)))
-    logger.info(f"Loaded weights from {args.weights}")
+    from _common import DataParallelSampler
+
+    dp = DataParallelSampler(load_model_params(
+        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32))))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def ilvr_jit(prm, refs, noise, key):
@@ -65,7 +69,8 @@ def main():
         refs = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
         k = jax.random.fold_in(rng, i)
         noise = jax.random.normal(k, refs.shape)
-        out = np.clip(np.asarray(ilvr_jit(params, jnp.asarray(refs), noise, k)), -1, 1)
+        (refs_sh, noise), nb = dp.pad_shard((jnp.asarray(refs), noise))
+        out = np.clip(np.asarray(ilvr_jit(params, refs_sh, noise, k))[:nb], -1, 1)
         for b in range(len(refs)):
             save_image_grid(np.stack([refs[b], out[b]]),
                             os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)

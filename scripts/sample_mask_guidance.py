@@ -45,9 +45,13 @@ def main():
     extra = {"var_type": args.var_type} if args.var_type else {}
     diffuser = MaskGuidance(**diffusion_params(args, conf, **extra))
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
-        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32)))
-    logger.info(f"Loaded weights from {args.weights}")
+    from _common import DataParallelSampler
+
+    dp = DataParallelSampler(load_model_params(
+        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32))))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def inpaint_jit(prm, masked_img, mask, noise, key):
@@ -71,8 +75,9 @@ def main():
         masked = imgs * masks
         k = jax.random.fold_in(rng, i)
         noise = jax.random.normal(k, imgs.shape)
-        out = np.clip(np.asarray(inpaint_jit(params, jnp.asarray(masked),
-                                             jnp.asarray(masks), noise, k)), -1, 1)
+        (masked_sh, masks_sh, noise), nb = dp.pad_shard(
+            (jnp.asarray(masked), jnp.asarray(masks), noise))
+        out = np.clip(np.asarray(inpaint_jit(params, masked_sh, masks_sh, noise, k))[:nb], -1, 1)
         for b in range(len(imgs)):
             trip = np.stack([imgs[b], masked[b] + (1 - masks[b]) * 1.0, out[b]])
             save_image_grid(trip, os.path.join(args.save_dir, f"{i + b}.png"), nrow=3)

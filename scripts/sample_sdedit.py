@@ -45,9 +45,13 @@ def main():
     extra = {"var_type": args.var_type} if args.var_type else {}
     diffuser = DDPM(**diffusion_params(args, conf, **extra))
     model = instantiate_from_config(conf.model)
-    params = load_model_params(
-        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32)))
-    logger.info(f"Loaded weights from {args.weights}")
+    from _common import DataParallelSampler
+
+    dp = DataParallelSampler(load_model_params(
+        args.weights, model, (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32))))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     S = len(diffuser.respaced_seq)
     assert 0 < args.edit_steps <= S, f"edit_steps must be in (0, {S}]"
@@ -70,7 +74,8 @@ def main():
     for i in range(0, n, args.batch_size):
         batch = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
         k = jax.random.fold_in(rng, i)
-        edited = np.clip(np.asarray(edit_jit(params, jnp.asarray(batch), k)), -1, 1)
+        batch_sh, nb = dp.pad_shard(jnp.asarray(batch))
+        edited = np.clip(np.asarray(edit_jit(params, batch_sh, k))[:nb], -1, 1)
         for b in range(len(batch)):
             save_image_grid(np.stack([batch[b], edited[b]]),
                             os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)

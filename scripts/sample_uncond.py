@@ -30,7 +30,7 @@ from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
 from dmtpu.utils.misc import amortize  # noqa: E402
 from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
-from _common import dp_sharding  # noqa: E402
+from _common import DataParallelSampler  # noqa: E402
 
 COMPATIBLE_SAMPLER_MODE = dict(
     ddpm=["sample", "denoise", "progressive"],
@@ -117,8 +117,10 @@ def main():
 
     diffuser = build_diffuser(args, conf)
     model = instantiate_from_config(conf.model)
-    params = load_params(args.weights, model, (1,) + shape)
-    logger.info(f"Loaded weights from {args.weights}")
+    dp = DataParallelSampler(load_params(args.weights, model, (1,) + shape))
+    params = dp.params
+    logger.info(f"Loaded weights from {args.weights} "
+                f"(data-parallel over {dp.ndev} device(s))")
 
     def model_fn(x, t, **kw):
         return model.apply(params, x, t, **kw)
@@ -134,8 +136,8 @@ def main():
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
             k = jax.random.fold_in(rng, i)
-            noise = jax.random.normal(k, (bs,) + shape)
-            out = np.clip(np.asarray(sample_fn(noise, k)), -1, 1)
+            noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
+            out = np.clip(np.asarray(sample_fn(noise, k))[:bs], -1, 1)
             for img in out:
                 save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
                 idx += 1
@@ -152,9 +154,9 @@ def main():
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
             k = jax.random.fold_in(rng, i)
-            noise = jax.random.normal(k, (bs,) + shape)
+            noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
             _, ys = loop_fn(noise, k)
-            traj = np.clip(np.asarray(ys[key]), -1, 1)  # [S, B, H, W, C]
+            traj = np.clip(np.asarray(ys[key])[:, :bs], -1, 1)  # [S, B, H, W, C]
             traj = traj[::-1][::freq][::-1]  # keep every freq-th, ending at final
             for b in range(bs):
                 save_image_grid(traj[:, b], os.path.join(args.save_dir, f"{idx}.png"),
@@ -172,8 +174,8 @@ def main():
             z1 = jax.random.normal(jax.random.fold_in(k, 0), shape)
             z2 = jax.random.normal(jax.random.fold_in(k, 1), shape)
             ts = jnp.linspace(0, 1, args.n_interpolate)
-            noise = jnp.stack([slerp(t, z1, z2) for t in ts])
-            out = np.clip(np.asarray(sample_fn(noise, k)), -1, 1)
+            noise, nb = dp.pad_shard(jnp.stack([slerp(t, z1, z2) for t in ts]))
+            out = np.clip(np.asarray(sample_fn(noise, k))[:nb], -1, 1)
             save_image_grid(out, os.path.join(args.save_dir, f"{i}.png"), nrow=args.n_interpolate)
             logger.info(f"Sampled {i + 1}/{args.n_samples}")
 
@@ -189,7 +191,8 @@ def main():
         n = min(args.n_samples, len(dataset))
         for i in range(0, n, args.batch_size):
             batch = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
-            recon = np.clip(np.asarray(recon_fn(jnp.asarray(batch))), -1, 1)
+            sharded, nb = dp.pad_shard(jnp.asarray(batch))
+            recon = np.clip(np.asarray(recon_fn(sharded))[:nb], -1, 1)
             for b in range(len(batch)):
                 pair = np.stack([batch[b], recon[b]])
                 save_image_grid(pair, os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)

@@ -87,3 +87,54 @@ def test_adm_encoder_parity(pool):
         want = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
     got = np.asarray(model.apply(params, x_j, jnp.asarray(t)))
     np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4, err_msg=pool)
+
+
+def test_combine_adm_weights_parity():
+    """combine_weights equivalent: two torch ADM checkpoints fuse into one
+    UNetCombined tree (reference: models/adm/unet_combined.py:27-32), with
+    cond/uncond routing matching the torch module."""
+    require_reference()
+    import torch
+    from models.adm.unet import UNetModel as RefUNet
+
+    from dmtpu.convert.zoo import combine_adm_weights
+    from dmtpu.models.adm import UNetCombined
+
+    cfg = {**BASE, "num_classes": 10, "use_scale_shift_norm": True}
+    cfg_uncond = {**cfg, "num_classes": None}
+
+    def make_ref(c, seed):
+        torch.manual_seed(seed)
+        ref = RefUNet(**c)
+        ref.eval()
+        with torch.no_grad():
+            for n, p in ref.named_parameters():
+                if p.abs().sum() == 0:
+                    p.add_(torch.randn_like(p) * 0.02)
+        return ref
+
+    ref_cond = make_ref(cfg, 0)
+    ref_uncond = make_ref(cfg_uncond, 1)
+    cond_sd = {k: v.detach().numpy() for k, v in ref_cond.state_dict().items()}
+    uncond_sd = {k: v.detach().numpy() for k, v in ref_uncond.state_dict().items()}
+
+    model = UNetCombined(unet_kwargs=cfg)
+    rs = np.random.RandomState(2)
+    x = rs.randn(2, 3, 16, 16).astype(np.float32)
+    t = np.array([3, 88])
+    y = np.array([1, 7])
+    x_j = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    init = model.init(jax.random.PRNGKey(0), x_j, jnp.asarray(t), jnp.asarray(y))
+    params = combine_adm_weights(cond_sd, uncond_sd, init)
+
+    with torch.no_grad():
+        want_c = ref_cond(torch.from_numpy(x), torch.from_numpy(t),
+                          torch.from_numpy(y)).numpy()
+        want_u = ref_uncond(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    got_c = np.transpose(np.asarray(model.apply(
+        params, x_j, jnp.asarray(t), jnp.asarray(y))), (0, 3, 1, 2))
+    got_u = np.transpose(np.asarray(model.apply(
+        params, x_j, jnp.asarray(t), None)), (0, 3, 1, 2))
+    np.testing.assert_allclose(got_c, want_c, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_u, want_u, rtol=2e-4, atol=2e-4)

@@ -1,0 +1,93 @@
+"""DP sampling through the CLI code path.
+
+Runs ``scripts/sample_uncond.py`` main() on the 8-device CPU mesh (conftest
+pins the CPU default device, so ``dp_sharding`` builds the CPU mesh) and
+checks the sharded run's outputs are identical to the same sampling done
+single-device with the library API — the reference's amortize+gather DP
+semantics (reference: scripts/sample_uncond.py:183-190).
+"""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+CPU = jax.devices("cpu")[0]
+
+CONF = """
+data:
+  target: datasets.synthetic.Synthetic
+  params: {img_size: 16, channels: 3, n: 64}
+  img_channels: 3
+model:
+  target: models.unet.UNet
+  params: {in_channels: 3, out_channels: 3, dim: 32, dim_mults: [1, 2],
+           use_attn: [false, false], num_res_blocks: 1}
+diffusion:
+  target: diffusions.ddpm.DDPM
+  params: {total_steps: 50, beta_schedule: linear, objective: pred_eps,
+           var_type: fixed_small, respace_type: uniform, respace_steps: 5}
+"""
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    from dmtpu.utils.config import instantiate_from_config, load_config
+
+    d = tmp_path_factory.mktemp("dp_cli")
+    cfg = d / "conf.yaml"
+    cfg.write_text(CONF)
+    conf = load_config(str(cfg))
+    model = instantiate_from_config(conf.model)
+    with jax.default_device(CPU):
+        params = model.init(jax.random.PRNGKey(7), jnp.zeros((1, 16, 16, 3)),
+                            jnp.zeros((1,), jnp.int32))
+    wpath = d / "w.npz"
+    np.savez(wpath, params=np.asarray(
+        jax.tree.map(lambda a: np.asarray(a), params), dtype=object))
+    return str(cfg), str(wpath), model, params, conf
+
+
+def test_sample_uncond_dp_matches_single_device(tiny_setup, tmp_path, monkeypatch):
+    cfg, wpath, model, params, conf = tiny_setup
+    assert len(jax.devices("cpu")) >= 8
+
+    save_dir = str(tmp_path / "out")
+    # n_samples=10, batch 6 → folds of 6 and 4; 6 and 4 both need padding to 8
+    argv = ["sample_uncond.py", "-c", cfg, "--weights", wpath,
+            "--n_samples", "10", "--save_dir", save_dir,
+            "--batch_size", "6", "--sampler", "ddpm", "--seed", "11"]
+    monkeypatch.setattr(sys, "argv", argv)
+    import sample_uncond
+
+    sample_uncond.main()
+    files = sorted(os.listdir(save_dir))
+    assert len(files) == 10
+
+    # reproduce single-device with the library API (identical fold logic)
+    from PIL import Image
+
+    from dmtpu.diffusions import DDPM
+    from dmtpu.utils.misc import amortize, image_norm_to_uint8
+
+    diffuser = DDPM(total_steps=50, beta_schedule="linear", objective="pred_eps",
+                    var_type="fixed_small", respace_type="uniform", respace_steps=5)
+    rng = jax.random.PRNGKey(11)
+    with jax.default_device(CPU):
+        outs = []
+        for i, bs in enumerate(amortize(10, 6)):
+            k = jax.random.fold_in(rng, i)
+            noise = jax.random.normal(k, (bs, 16, 16, 3))
+            out = diffuser.sample(lambda x, t, **kw: model.apply(params, x, t), noise, k)
+            outs.append(np.clip(np.asarray(out), -1, 1))
+        expected = np.concatenate(outs)
+
+    for idx in range(10):
+        got = np.asarray(Image.open(os.path.join(save_dir, f"{idx}.png")))
+        want = image_norm_to_uint8(expected[idx])
+        np.testing.assert_array_equal(got, want)
