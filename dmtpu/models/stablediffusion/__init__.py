@@ -25,7 +25,9 @@ from dmtpu.models.stablediffusion.autoencoder import (
 from dmtpu.models.stablediffusion.text_encoders import (
     CLIPTextTransformer,
     FrozenCLIPEmbedder,
+    FrozenCLIPT5Encoder,
     FrozenOpenCLIPEmbedder,
+    FrozenT5Embedder,
 )
 from dmtpu.models.stablediffusion.unet import SDUNetModel
 
@@ -42,6 +44,8 @@ __all__ = [
     "CLIPTextTransformer",
     "FrozenCLIPEmbedder",
     "FrozenOpenCLIPEmbedder",
+    "FrozenT5Embedder",
+    "FrozenCLIPT5Encoder",
 ]
 
 

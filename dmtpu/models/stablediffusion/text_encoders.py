@@ -197,3 +197,80 @@ class FrozenOpenCLIPEmbedder(FrozenCLIPEmbedder):
 
     def output_layer(self):
         return "penultimate" if self.layer == "penultimate" else "last"
+
+
+class FrozenT5Embedder:
+    """T5 text conditioning via HF Flax T5 (reference:
+    models/stablediffusion/text_encoders.py:25-54, which likewise delegates
+    to HF ``T5EncoderModel``).
+
+    ``version`` must be a LOCAL checkpoint/tokenizer path in zero-egress
+    environments; torch-format checkpoints convert in-loader (``from_pt``).
+    ``module``/``params``/``tokenizer`` can also be injected directly.
+    """
+
+    def __init__(self, version: str = "google/t5-v1_1-large", max_length: int = 77,
+                 module: Any = None, params: Any = None, tokenizer: Any = None,
+                 dtype: Any = None, **_: Any):
+        self.max_length = max_length
+        self.module, self.params, self.tokenizer = module, params, tokenizer
+        if module is None and version is not None and tokenizer is not None:
+            self._load(version, dtype)
+        self._version = version
+        self._dtype = dtype
+
+    def _load(self, version: str, dtype: Any):
+        import os
+
+        from transformers import FlaxT5EncoderModel
+
+        # local dirs with only torch weights need the pt->flax conversion
+        from_pt = os.path.isdir(version) and not any(
+            f.startswith("flax_model") for f in os.listdir(version))
+        m = FlaxT5EncoderModel.from_pretrained(
+            version, from_pt=from_pt, **({"dtype": dtype} if dtype else {}))
+        self.module, self.params = m.module, {"params": m.params}
+
+    def _ensure_loaded(self):
+        if self.module is None:
+            self._load(self._version, self._dtype)
+
+    def tokenize(self, texts) -> np.ndarray:
+        if self.tokenizer is None:
+            from transformers import AutoTokenizer
+
+            self.tokenizer = AutoTokenizer.from_pretrained(self._version)
+        enc = self.tokenizer(texts, truncation=True, max_length=self.max_length,
+                             padding="max_length", return_tensors="np")
+        return enc["input_ids"]
+
+    def encode_tokens(self, params, input_ids: Array) -> Array:
+        self._ensure_loaded()
+        out = self.module.apply(params, input_ids=jnp.asarray(input_ids, jnp.int32))
+        return out.last_hidden_state
+
+    def encode(self, texts) -> Array:
+        self._ensure_loaded()
+        return self.encode_tokens(self.params, jnp.asarray(self.tokenize(texts)))
+
+
+class FrozenCLIPT5Encoder:
+    """CLIP + T5 dual conditioning, returned as ``[clip_z, t5_z]``
+    (reference: models/stablediffusion/text_encoders.py:167-182)."""
+
+    def __init__(self, clip_version: str = "clip-vit-l", t5_version: str = "google/t5-v1_1-xl",
+                 clip_max_length: int = 77, t5_max_length: int = 77,
+                 clip_tokenizer: Any = None, t5_module: Any = None,
+                 t5_params: Any = None, t5_tokenizer: Any = None, **_: Any):
+        self.clip_encoder = FrozenCLIPEmbedder(clip_version, max_length=clip_max_length,
+                                               tokenizer=clip_tokenizer)
+        self.t5_encoder = FrozenT5Embedder(t5_version, max_length=t5_max_length,
+                                           module=t5_module, params=t5_params,
+                                           tokenizer=t5_tokenizer)
+
+    def encode(self, texts, clip_params=None):
+        clip_params = clip_params if clip_params is not None else self.clip_encoder.params
+        clip_ids = jnp.asarray(self.clip_encoder.tokenize(texts))
+        clip_z = self.clip_encoder.encode_tokens(clip_params, clip_ids)
+        t5_z = self.t5_encoder.encode(texts)
+        return [clip_z, t5_z]
