@@ -89,10 +89,21 @@ class MaskGuidance(BaseGuidance):
         tape["renoise_sqrt_alpha"] = np.sqrt(np.maximum(alphas_next, 0.0)).astype(np.float32)
         tape["renoise_sqrt_1m_alpha"] = np.sqrt(np.maximum(1.0 - alphas_next, 0.0)).astype(np.float32)
         tape["is_denoise"] = denoise.astype(np.float32)
-        # guard against NaN/inf coefficients in unused (renoise) rows
+        # Renoise rows carry placeholder (t1 -> t2) denoise coefficients that
+        # may be NaN/inf (t2 = t1+1 runs the chain backwards); the scan's
+        # lax.cond never reads them, but XLA still wants finite constants.
+        # Scrub ONLY those rows — a non-finite coefficient on a *denoise* row
+        # is a real schedule bug and must fail loudly.
         for k, v in tape.items():
-            if v.dtype != np.int32:
-                tape[k] = np.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+            if v.dtype == np.int32 or k.startswith("renoise") or k == "is_denoise":
+                continue
+            finite = np.isfinite(v)
+            row_denoise = denoise.reshape(denoise.shape + (1,) * (v.ndim - 1))
+            if not np.all(finite | ~row_denoise):
+                raise FloatingPointError(
+                    f"non-finite '{k}' coefficient on a denoise row: "
+                    f"rows {np.unique(np.argwhere(~finite & row_denoise)[:, 0])}")
+            tape[k] = np.where(finite, v, 0.0).astype(v.dtype)
         return tape
 
     def resample_loop(

@@ -27,6 +27,29 @@ from dmtpu.models.dit import TimmMlp, get_2d_sincos_pos_embed, modulate
 Array = jax.Array
 
 
+def sample_len_keep(num_patches: int, mask_ratio: float, u: float,
+                    n_buckets: int = 8) -> int:
+    """Bucketed masked-training keep-length.
+
+    The reference draws a CONTINUOUS per-step ratio
+    ``r ~ U[mask_ratio, mask_ratio + 0.2]`` and keeps ``int(L·(1-r))`` tokens
+    (reference: models/mdt/model.py:463-467, 390-397).  A continuous draw
+    would retrace/rec compile per distinct value under jit, so the ratio is
+    snapped to ``n_buckets`` evenly spaced static keep-lengths spanning the
+    same range — at most ``n_buckets`` compiles, matching the reference's
+    mean and spread (tested in tests/test_dit_mdt.py).
+
+    ``u``: host-side uniform draw in [0, 1) (e.g. ``float(np.random.rand())``
+    or a folded-key ``jax.random.uniform`` pulled to host once per step).
+    Returns a static Python int for the model's ``len_keep`` argument.
+    """
+    lo = int(num_patches * (1 - mask_ratio - 0.2))
+    hi = int(num_patches * (1 - mask_ratio))
+    buckets = np.unique(np.linspace(lo, hi, n_buckets).round().astype(int))
+    target = num_patches * (1 - (mask_ratio + 0.2 * float(u)))
+    return int(buckets[np.argmin(np.abs(buckets - target))])
+
+
 def _relative_position_index(grid: int) -> np.ndarray:
     """BEiT-style pairwise relative position index.  (reference: models/mdt/model.py:61-99)"""
     coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij"))

@@ -56,9 +56,20 @@ class SDXLConditioner:
 
     def __init__(self, embed_dim: int = 256, emb_models: Any = None, **_: Any):
         # ``emb_models`` (the GeneralConditioner yaml list,
-        # weights/sdxl/sd_xl_base.yaml) is accepted for config parity; this
-        # class IS that standard 5-embedder composition.
+        # weights/sdxl/sd_xl_base.yaml) is VERIFIED against the standard
+        # 5-embedder base composition this class hardcodes — any other
+        # composition must fail loudly rather than silently build the wrong
+        # conditioner (reference: models/sdxl/conditioner.py:62-179).
         if emb_models is not None:
+            suffixes = [cfg.get("target", "").rsplit(".", 1)[-1] for cfg in emb_models]
+            expected = ["FrozenCLIPEmbedder", "FrozenOpenCLIPEmbedder2",
+                        "ConcatTimestepEmbedderND", "ConcatTimestepEmbedderND",
+                        "ConcatTimestepEmbedderND"]
+            if suffixes != expected:
+                raise ValueError(
+                    "SDXLConditioner implements the sd_xl_base 5-embedder "
+                    f"composition {expected}; got emb_models={suffixes}. "
+                    "Other compositions are not supported.")
             for cfg in emb_models:
                 t = cfg.get("target", "")
                 if t.endswith("ConcatTimestepEmbedderND"):

@@ -8,6 +8,7 @@ from dmtpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from dmtpu.parallel.tp import shard_params_tp, tp_param_sharding
 from dmtpu.parallel.train import (
     TrainState,
     make_diffusion_loss_fn,
@@ -27,4 +28,6 @@ __all__ = [
     "make_train_step",
     "make_diffusion_loss_fn",
     "shard_train_state",
+    "tp_param_sharding",
+    "shard_params_tp",
 ]

@@ -10,22 +10,43 @@ from __future__ import annotations
 import optax
 
 
-def adam(lr: float = 1e-3, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.0):
+def _resolve_lr(lr):
+    """float, or a ``{target:, params:}`` schedule config (any optax schedule,
+    e.g. ``optax.cosine_decay_schedule``) → value usable as the optax lr."""
+    if hasattr(lr, "keys") and "target" in lr:
+        from dmtpu.utils.config import instantiate_from_config
+
+        return instantiate_from_config(lr)
+    return float(lr)
+
+
+def lr_fn(optim_conf):
+    """step -> actual learning rate, for logging.  Mirrors ``_resolve_lr`` so
+    logged LR always tracks what the optimizer applies (schedules included)."""
+    lr = _resolve_lr(dict(optim_conf.get("params", {})).get("lr", 1e-3))
+    if callable(lr):
+        return lambda step: float(lr(step))
+    return lambda step: float(lr)
+
+
+def adam(lr=1e-3, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.0):
+    lr = _resolve_lr(lr)
     if weight_decay:
         return optax.chain(
             optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.add_decayed_weights(weight_decay),
-            optax.scale(-lr),
+            optax.scale_by_learning_rate(lr),
         )
     return optax.adam(lr, b1=betas[0], b2=betas[1], eps=eps)
 
 
-def adamw(lr: float = 1e-3, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.01):
-    return optax.adamw(lr, b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay)
+def adamw(lr=1e-3, betas=(0.9, 0.999), eps: float = 1e-8, weight_decay: float = 0.01):
+    return optax.adamw(_resolve_lr(lr), b1=betas[0], b2=betas[1], eps=eps,
+                       weight_decay=weight_decay)
 
 
-def sgd(lr: float, momentum: float = 0.0, weight_decay: float = 0.0, nesterov: bool = False):
-    tx = optax.sgd(lr, momentum=momentum or None, nesterov=nesterov)
+def sgd(lr, momentum: float = 0.0, weight_decay: float = 0.0, nesterov: bool = False):
+    tx = optax.sgd(_resolve_lr(lr), momentum=momentum or None, nesterov=nesterov)
     if weight_decay:
         tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     return tx

@@ -114,6 +114,8 @@ def main():
     diffuser = instantiate_from_config(conf.diffusion)
     model = instantiate_from_config(conf.model)
     tx = instantiate_from_config(conf.train.optim)
+    from dmtpu.utils.optim import lr_fn
+    lr_at = lr_fn(conf.train.optim)
     img_size = conf.data.params.img_size
     img_ch = conf.data.img_channels
     sample_shape = (1, img_size, img_size, img_ch)
@@ -187,7 +189,7 @@ def main():
                 tracker.track_status(
                     "Train",
                     {"loss": m_["loss"], "grad_norm": m_["grad_norm"],
-                     "lr": conf.train.optim.params.lr,
+                     "lr": lr_at(s_),
                      "imgs_per_sec": timer.throughput(conf.train.batch_size)},
                     s_,
                 )

@@ -91,6 +91,8 @@ def main():
     diffuser = instantiate_from_config(conf.diffusion)
     model = instantiate_from_config(conf.model)
     tx = instantiate_from_config(conf.train.optim)
+    from dmtpu.utils.optim import lr_fn
+    lr_at = lr_fn(conf.train.optim)
     img_size = conf.data.params.img_size
     img_ch = conf.data.img_channels
 
@@ -164,7 +166,7 @@ def main():
             for s_, m_ in pending:
                 tracker.track_status("Train", {"loss": m_["loss"],
                                                "grad_norm": m_["grad_norm"],
-                                               "lr": conf.train.optim.params.lr}, s_)
+                                               "lr": lr_at(s_)}, s_)
             pending.clear()
         if check_freq(conf.train.save_freq, step):
             ckpt_lib.save_checkpoint(os.path.join(exp_dir, "ckpt"), step, state)

@@ -284,3 +284,34 @@ def test_mdt_forward_with_cfg_power_cosine():
     assert out.shape == (4, 8, 8, 8)
     np.testing.assert_allclose(np.asarray(out[..., :3][:2]), np.asarray(out[..., :3][2:]),
                                atol=1e-6)
+
+
+def test_mdt_bucketed_len_keep_statistics():
+    """Bucketed ratio draw matches the reference's continuous distribution
+    (reference: models/mdt/model.py:463-467): same support, mean within one
+    bucket width, and a bounded static-compile count."""
+    from dmtpu.models.mdt import sample_len_keep
+
+    L, mr, nb = 256, 0.30, 8
+    rs = np.random.RandomState(0)
+    us = rs.rand(20000)
+    got = np.array([sample_len_keep(L, mr, u, n_buckets=nb) for u in us])
+    want = np.floor(L * (1 - (mr + 0.2 * us)))  # reference int(L*(1-r))
+
+    lo, hi = int(L * (1 - mr - 0.2)), int(L * (1 - mr))
+    assert got.min() >= lo and got.max() <= hi
+    assert len(np.unique(got)) <= nb          # static compile budget
+    bucket_width = (hi - lo) / (nb - 1)
+    assert abs(got.mean() - want.mean()) < bucket_width
+
+    # every bucket feeds the model's static len_keep path
+    model = MDTv2(input_size=8, patch_size=2, in_channels=4, hidden_size=32, depth=4,
+                  num_heads=4, num_classes=5, mask_ratio=mr, decode_layer=2)
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.asarray([0, 1])
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    lk = sample_len_keep(16, mr, 0.5, n_buckets=4)
+    out = model.apply(params, x, t, y, enable_mask=True, len_keep=lk,
+                      mask_rng=jax.random.PRNGKey(1))
+    assert out.shape == (2, 8, 8, 8)

@@ -162,3 +162,62 @@ def test_dp_sampling_matches_single_device(tiny_setup):
     n8 = jax.device_put(noise, bsh)
     multi = jax.jit(sample)(p8, n8)
     np.testing.assert_allclose(np.asarray(single), np.asarray(multi), rtol=2e-5, atol=2e-5)
+
+
+def test_fsdp_matches_pure_dp_numerics(tiny_setup):
+    """Same batch + rng: (data=4, fsdp=2) step == pure-DP (data=8) step.
+
+    ZeRO-style param/opt-state sharding must not change the math — only the
+    layout.  SGD keeps the comparison free of Adam's first-step sign
+    sensitivity (same rationale as the DP-vs-single test above).
+    """
+    _, _, params, _, loss_fn = tiny_setup
+    tx = optax.sgd(0.1)
+    batch = jax.random.normal(jax.random.PRNGKey(8), (16, 8, 8, 3))
+    rng = jax.random.PRNGKey(9)
+
+    def run(mesh):
+        state = shard_train_state(TrainState.create(params, tx, ema_decay=0.999), mesh)
+        step = make_train_step(loss_fn, tx, mesh=mesh, donate=False)
+        state, m = step(state, shard_batch(batch, mesh), rng)
+        return state, float(m["loss"])
+
+    s_dp, loss_dp = run(cpu_mesh(fsdp=1))
+    s_fsdp, loss_fsdp = run(cpu_mesh(fsdp=2))
+
+    np.testing.assert_allclose(loss_dp, loss_fsdp, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_dp.params), jax.tree.leaves(s_fsdp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(s_dp.ema.shadow), jax.tree.leaves(s_fsdp.ema.shadow)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def test_tensor_parallel_sd_unet_matches_replicated():
+    """Megatron-style TP sharding of the SD transformer weights (column/row
+    split over the model axis) must not change numerics — GSPMD inserts the
+    collectives.  Beyond-parity feature for SDXL @ 1024² (SURVEY.md §2d)."""
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+    from dmtpu.parallel import shard_params_tp, tp_param_sharding
+    from jax.sharding import PartitionSpec as P
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=32, out_channels=4, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1, 2), num_heads=4,
+        transformer_depth=1, context_dim=16, legacy=False)
+    x = jnp.ones((8, 8, 8, 4))
+    t = jnp.arange(8)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (8, 5, 16))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    want = np.asarray(model.apply(params, x, t, ctx))
+
+    mesh = cpu_mesh(fsdp=2)  # (data=4, fsdp=2): fsdp doubles as the TP axis
+    shardings = tp_param_sharding(mesh, params)
+    specs = {s.spec for s in jax.tree.leaves(shardings)}
+    assert P(None, "fsdp") in specs, "column-parallel qkv/ff kernels"
+    assert P("fsdp", None) in specs, "row-parallel out/proj kernels"
+
+    p_tp = shard_params_tp(params, mesh)
+    from dmtpu.parallel.mesh import batch_sharding
+    x_sh = jax.device_put(x, batch_sharding(mesh))
+    got = np.asarray(jax.jit(model.apply)(p_tp, x_sh, t, ctx))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
