@@ -26,16 +26,20 @@ setup_jax()
 from northstar import (  # noqa: E402
     A100_BASELINE_DIT,
     A100_BASELINE_SD15,
+    A100_BASELINE_SDXL,
     DIT_XL2_GFLOPS_PER_STEP,
     SD15_GFLOPS_PER_STEP,
+    SDXL_GFLOPS_PER_STEP,
     build_dit_xl2,
     build_sd15_unet,
+    build_sdxl_unet,
     mfu,
     time_ddim50,
 )
 
 SD_BATCH = 16
 DIT_BATCH = 32
+SDXL_BATCH = 1
 
 
 def main():
@@ -44,6 +48,10 @@ def main():
 
     _, dit_init, dit_apply = build_dit_xl2()
     dit_sps, _ = time_ddim50(dit_init, dit_apply, latent_hw=32, batch=DIT_BATCH)
+
+    _, sdxl_init, sdxl_apply = build_sdxl_unet()
+    sdxl_sps, _ = time_ddim50(sdxl_init, sdxl_apply, latent_hw=128,
+                              batch=SDXL_BATCH, ctx_dim=2048)
 
     print(json.dumps({
         "metric": "DDIM-50 SD1.5 512x512 sampling throughput",
@@ -57,7 +65,11 @@ def main():
             "dit_xl2_vs_a100_baseline": round(dit_sps / A100_BASELINE_DIT, 3),
             "dit_xl2_mfu_v5e": round(mfu(dit_sps, DIT_XL2_GFLOPS_PER_STEP), 3),
             "dit_batch": DIT_BATCH,
-            "a100_baselines": {"sd15": A100_BASELINE_SD15, "dit_xl2": A100_BASELINE_DIT},
+            "sdxl_1024_samples_per_sec": round(sdxl_sps, 3),
+            "sdxl_vs_a100_baseline": round(sdxl_sps / A100_BASELINE_SDXL, 3),
+            "sdxl_mfu_v5e": round(mfu(sdxl_sps, SDXL_GFLOPS_PER_STEP), 3),
+            "a100_baselines": {"sd15": A100_BASELINE_SD15, "dit_xl2": A100_BASELINE_DIT,
+                               "sdxl": A100_BASELINE_SDXL},
         },
     }))
 

@@ -37,8 +37,11 @@ import jax.numpy as jnp
 # XLA-counted GFLOPs per model forward (see module docstring)
 SD15_GFLOPS_PER_STEP = 788.7
 DIT_XL2_GFLOPS_PER_STEP = 237.9
+SDXL_GFLOPS_PER_STEP = 7005.5  # 1024², measured via compiled cost_analysis
 A100_BASELINE_SD15 = 1.6   # samples/s/chip, derivation above
 A100_BASELINE_DIT = 9.0    # samples/s/chip, derivation above
+# SDXL-base 1024²: 350 TF/sample (50 × 7.0 TF) at 20% eager MFU → 0.178/s
+A100_BASELINE_SDXL = 0.18
 V5E_PEAK_TFLOPS = 197.0
 
 
@@ -79,6 +82,34 @@ def build_dit_xl2(dtype=jnp.bfloat16):
     def apply_fn(params, x, t, ctx):
         # ctx unused; class label fixed (conditioning cost is in the embed)
         return model.apply(params, x, t, jnp.zeros((x.shape[0],), jnp.int32))
+
+    return model, init, apply_fn
+
+
+def build_sdxl_unet(dtype=jnp.bfloat16):
+    """SDXL-base UNet per reference weights/sdxl/sd_xl_base.yaml (2.57B):
+    1024² → 128×128×4 latents, per-level transformer_depth [1,2,10],
+    context 2048, 'sequential' vector conditioning (adm_in 2816)."""
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2), channel_mult=(1, 2, 4),
+        num_head_channels=64, use_spatial_transformer=True,
+        transformer_depth=(1, 2, 10), context_dim=2048,
+        num_classes="sequential", adm_in_channels=2816,
+        use_linear_in_transformer=True, legacy=False, torso_dtype=dtype)
+
+    def init(rng, batch):
+        x = jnp.zeros((batch, 128, 128, 4))
+        t = jnp.zeros((batch,), jnp.int32)
+        ctx = jnp.zeros((batch, 77, 2048))
+        y = jnp.zeros((batch, 2816))
+        return model.init(rng, x, t, ctx, y)
+
+    def apply_fn(params, x, t, ctx):
+        y = jnp.zeros((x.shape[0], 2816), x.dtype)
+        return model.apply(params, x, t, ctx, y)
 
     return model, init, apply_fn
 

@@ -1,0 +1,96 @@
+"""FID / Inception Score evaluation CLI.
+
+The reference computes FID/IS externally with torch-fidelity on 50K samples
+(reference: docs/DDPM.md "Evaluation"); this brings the same workflow
+in-framework, on-device:
+
+    python scripts/evaluate.py --real_dir DIR --fake_dir DIR \
+        [--inception_weights pt_inception-2015-12-05.pth]     # classic FID+IS
+        [--clip_pretrained /local/clip]                        # CLIP-FID
+
+With ``--inception_weights`` (the standard pt_inception file, supplied
+locally): classic FID on pool3 features + IS on the 1008-way logits —
+directly comparable to the reference's published tables (BASELINE.md).
+With ``--clip_pretrained``: CLIP-FID (Kynkäänniemi et al. 2022).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import numpy as np  # noqa: E402
+
+from dmtpu.utils.logger import get_logger  # noqa: E402
+
+
+def load_images_u8(path: str, img_size: int, limit: int = 0) -> np.ndarray:
+    """Directory of images -> uint8 NHWC array (resized to img_size)."""
+    from PIL import Image
+
+    files = []
+    for root, _, names in os.walk(path):
+        files += [os.path.join(root, n) for n in names
+                  if n.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))]
+    files.sort()
+    if limit:
+        files = files[:limit]
+    if not files:
+        raise FileNotFoundError(f"no images under {path}")
+    out = np.zeros((len(files), img_size, img_size, 3), np.uint8)
+    for i, f in enumerate(files):
+        im = Image.open(f).convert("RGB")
+        if im.size != (img_size, img_size):
+            im = im.resize((img_size, img_size), Image.BICUBIC)
+        out[i] = np.asarray(im)
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--real_dir", required=True)
+    p.add_argument("--fake_dir", required=True)
+    p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--n_max", type=int, default=0, help="cap images per side (0 = all)")
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--inception_weights", default=None,
+                   help="local pt_inception-2015-12-05 .pth -> classic FID + IS")
+    p.add_argument("--clip_pretrained", default=None,
+                   help="local HF CLIP checkpoint -> CLIP-FID")
+    p.add_argument("--is_splits", type=int, default=10)
+    args = p.parse_args()
+    logger = get_logger()
+
+    if not args.inception_weights and not args.clip_pretrained:
+        p.error("provide --inception_weights (classic FID/IS) and/or --clip_pretrained (CLIP-FID)")
+
+    real = load_images_u8(args.real_dir, args.img_size, args.n_max)
+    fake = load_images_u8(args.fake_dir, args.img_size, args.n_max)
+    logger.info(f"real: {real.shape}  fake: {fake.shape}")
+
+    from dmtpu.eval import compute_fid, inception_score
+
+    results = {}
+    if args.inception_weights:
+        from dmtpu.eval import InceptionFeatureExtractor
+
+        ext = InceptionFeatureExtractor(args.inception_weights, batch_size=args.batch_size)
+        results["fid"] = compute_fid(real, fake, ext)
+        m, s = inception_score(ext.classify(fake), splits=args.is_splits)
+        results["is_mean"], results["is_std"] = m, s
+    if args.clip_pretrained:
+        from dmtpu.eval import CLIPFeatureExtractor
+
+        ext = CLIPFeatureExtractor(args.clip_pretrained, batch_size=args.batch_size)
+        results["clip_fid"] = compute_fid(real, fake, ext)
+
+    print(json.dumps({k: round(float(v), 4) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
