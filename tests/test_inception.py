@@ -101,3 +101,64 @@ def test_inception_is_from_logits(variables):
         probs = np.asarray(jax.nn.softmax(logits, axis=-1))
         m, s = inception_score(probs, splits=2)
         assert m >= 1.0 and np.isfinite(s)
+
+
+def test_inception_blocks_parity_vs_torch_oracle():
+    """Cross-check the Flax block math against a torch implementation of the
+    same published architecture (BasicConv2d + InceptionA with the FID
+    count_include_pad=False pool), built here from torch.nn primitives."""
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    from dmtpu.eval.inception import InceptionA
+
+    class TBasic(tnn.Module):
+        def __init__(self, cin, cout, k, stride=1, padding=0):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, k, stride=stride, padding=padding, bias=False)
+            self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+        def forward(self, x):
+            return F.relu(self.bn(self.conv(x)))
+
+    class TInceptionA(tnn.Module):
+        def __init__(self, cin, pool_features):
+            super().__init__()
+            self.branch1x1 = TBasic(cin, 64, 1)
+            self.branch5x5_1 = TBasic(cin, 48, 1)
+            self.branch5x5_2 = TBasic(48, 64, 5, padding=2)
+            self.branch3x3dbl_1 = TBasic(cin, 64, 1)
+            self.branch3x3dbl_2 = TBasic(64, 96, 3, padding=1)
+            self.branch3x3dbl_3 = TBasic(96, 96, 3, padding=1)
+            self.branch_pool = TBasic(cin, pool_features, 1)
+
+        def forward(self, x):
+            bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+            return torch.cat([
+                self.branch1x1(x),
+                self.branch5x5_2(self.branch5x5_1(x)),
+                self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+                self.branch_pool(bp),
+            ], dim=1)
+
+    torch.manual_seed(0)
+    ref = TInceptionA(192, 32).eval()
+    # randomise BN stats so the normalisation path is non-trivial
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_inception_checkpoint(sd)
+
+    rs = np.random.RandomState(1)
+    x = rs.rand(2, 192, 17, 17).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    with jax.default_device(CPU):
+        got = InceptionA(32).apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
