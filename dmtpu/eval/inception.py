@@ -244,16 +244,23 @@ class InceptionFeatureExtractor:
         self._run = jax.jit(run)
         self._np = np
 
-    def _batched(self, images_u8, idx):
+    def _batched(self, images_u8):
         np = self._np
-        out = []
+        feats, probs = [], []
         for i in range(0, len(images_u8), self.batch_size):
             batch = jnp.asarray(np.asarray(images_u8[i:i + self.batch_size]))
-            out.append(np.asarray(self._run(self.variables, batch)[idx]))
-        return np.concatenate(out)
+            f, p = self._run(self.variables, batch)
+            feats.append(np.asarray(f))
+            probs.append(np.asarray(p))
+        return np.concatenate(feats), np.concatenate(probs)
+
+    def features_and_probs(self, images_u8):
+        """One network sweep → (pool3 [N,2048], class probs [N,1008]).
+        FID+IS evaluations should use this instead of two separate sweeps."""
+        return self._batched(images_u8)
 
     def __call__(self, images_u8):
-        return self._batched(images_u8, 0)
+        return self._batched(images_u8)[0]
 
     def classify(self, images_u8):
-        return self._batched(images_u8, 1)
+        return self._batched(images_u8)[1]

@@ -43,8 +43,10 @@ def sample_len_keep(num_patches: int, mask_ratio: float, u: float,
     or a folded-key ``jax.random.uniform`` pulled to host once per step).
     Returns a static Python int for the model's ``len_keep`` argument.
     """
-    lo = int(num_patches * (1 - mask_ratio - 0.2))
-    hi = int(num_patches * (1 - mask_ratio))
+    # epsilon guard: 1-0.3-0.2 = 0.4999... in binary would put lo one token
+    # below the reference distribution's support (int(256*0.5) = 128, not 127)
+    lo = int(np.floor(num_patches * (1 - mask_ratio - 0.2) + 1e-6))
+    hi = int(np.floor(num_patches * (1 - mask_ratio) + 1e-6))
     buckets = np.unique(np.linspace(lo, hi, n_buckets).round().astype(int))
     target = num_patches * (1 - (mask_ratio + 0.2 * float(u)))
     return int(buckets[np.argmin(np.abs(buckets - target))])

@@ -214,8 +214,6 @@ class FrozenT5Embedder:
                  dtype: Any = None, **_: Any):
         self.max_length = max_length
         self.module, self.params, self.tokenizer = module, params, tokenizer
-        if module is None and version is not None and tokenizer is not None:
-            self._load(version, dtype)
         self._version = version
         self._dtype = dtype
 
@@ -229,7 +227,9 @@ class FrozenT5Embedder:
             f.startswith("flax_model") for f in os.listdir(version))
         m = FlaxT5EncoderModel.from_pretrained(
             version, from_pt=from_pt, **({"dtype": dtype} if dtype else {}))
-        self.module, self.params = m.module, {"params": m.params}
+        self.module = m.module
+        if self.params is None:  # keep directly-injected params
+            self.params = {"params": m.params}
 
     def _ensure_loaded(self):
         if self.module is None:

@@ -77,6 +77,27 @@ def _pallas_flash():
         return None
 
 
+def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int) -> bool:
+    """Flash-vs-XLA dispatch for [B, S, H, D] attention on TPU.
+
+    The Pallas kernel pads head_dim to the 128-wide lane register; below
+    d=64 that wastes >2× MXU work, and measured on v5e the XLA path
+    overtakes it once enough (batch × heads) rows keep the MXU fed
+    (B16·H8 S4096 d40: XLA 6.5ms vs flash 8.7ms; B4: flash 2.0 vs 5.9).
+    Only up to S=4096² logits though: past that the S×S materialisation the
+    XLA path implies stops fitting (e.g. S=16384 at b·h=128 would be a
+    ~137 GB f32 weight tensor) — flash must take it regardless of d.
+    """
+    pad_wasteful = d < 64 and b * h >= 128 and sq * sk <= 4096 * 4096
+    return (
+        not pad_wasteful
+        and min(sq, sk) >= _FLASH_MIN_SEQ
+        and sq % 128 == 0
+        and sk % 128 == 0
+        and d >= 32
+    )
+
+
 def flash_mha(
     q: Array,
     k: Array,
@@ -91,27 +112,23 @@ def flash_mha(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     fa = _pallas_flash()
-    # The Pallas kernel pads head_dim to the 128-wide lane register; below
-    # d=64 that wastes >2× MXU work, and measured on v5e the XLA path
-    # overtakes it once enough (batch × heads) rows keep the MXU fed
-    # (B16·H8 S4096 d40: XLA 6.5ms vs flash 8.7ms; B4: flash 2.0 vs 5.9).
-    pad_wasteful = d < 64 and b * h >= 128
-    use_flash = (
-        fa is not None
-        and not pad_wasteful
-        and min(sq, sk) >= _FLASH_MIN_SEQ
-        and sq % 128 == 0
-        and sk % 128 == 0
-        and d >= 32
-    )
-    if not use_flash:
+    if fa is None or not _should_use_flash(b, sq, sk, h, d):
         return mha(q, k, v, scale=scale)
 
     sm_scale = (d ** -0.5) if scale is None else scale
+
+    def _block(s: int, target: int) -> int:
+        # largest power-of-two block ≤ target that divides s; terminates at
+        # 128 because the use_flash gate guarantees s % 128 == 0.
+        while s % target:
+            target //= 2
+        return target
+
     # Default BlockSizes serialise badly at LDM shapes (S=4096, d≤80:
-    # 13.8ms → 2.0ms with 512/1024 blocks, measured on v5e).
-    bq = min(512, sq)
-    bk = min(1024, sk)
+    # 13.8ms → 2.0ms with 512/1024 blocks, measured on v5e).  Blocks must
+    # divide the sequence (S=1536 with block_k=1024 is a trace-time error).
+    bq = _block(sq, min(512, sq))
+    bk = _block(sk, min(1024, sk))
     block_sizes = fa.BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1)
 
     def _flash(q, k, v):

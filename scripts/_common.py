@@ -77,7 +77,10 @@ def dp_sharding():
     # Respect an explicit default-device pin (tests run the 8-device CPU
     # mesh this way); otherwise use all devices of the default backend.
     dd = jax.config.jax_default_device
-    devices = jax.devices(dd.platform) if dd is not None else jax.devices()
+    # jax_default_device may be a Device object or a platform string
+    # (JAX_DEFAULT_DEVICE=cpu stores the raw string).
+    platform = getattr(dd, "platform", dd) if dd is not None else None
+    devices = jax.devices(platform) if platform is not None else jax.devices()
     mesh = make_mesh(devices)
     if mesh.devices.size <= 1:
         return mesh, (lambda x: x), (lambda p: p)

@@ -60,7 +60,8 @@ def main():
 
         uncond_sd = load_torch_weights(args.uncond_weights)
         img_size = conf.get("data", {}).get("params", {}).get("img_size", 64)
-        x = jnp.zeros((1, img_size, img_size, 3))
+        ch = conf.get("data", {}).get("img_channels", 3)
+        x = jnp.zeros((1, img_size, img_size, ch))
         t = jnp.zeros((1,), jnp.int32)
         init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t,
                               jnp.zeros((1,), jnp.int32))

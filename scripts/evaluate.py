@@ -74,14 +74,18 @@ def main():
     logger.info(f"real: {real.shape}  fake: {fake.shape}")
 
     from dmtpu.eval import compute_fid, inception_score
+    from dmtpu.eval.fid import fid_from_features
 
     results = {}
     if args.inception_weights:
         from dmtpu.eval import InceptionFeatureExtractor
 
         ext = InceptionFeatureExtractor(args.inception_weights, batch_size=args.batch_size)
-        results["fid"] = compute_fid(real, fake, ext)
-        m, s = inception_score(ext.classify(fake), splits=args.is_splits)
+        # one network sweep per image set: FID uses pool3, IS reuses the
+        # probs from the same fake-set pass
+        fake_pool3, fake_probs = ext.features_and_probs(fake)
+        results["fid"] = fid_from_features(ext(real), fake_pool3)
+        m, s = inception_score(fake_probs, splits=args.is_splits)
         results["is_mean"], results["is_std"] = m, s
     if args.clip_pretrained:
         from dmtpu.eval import CLIPFeatureExtractor

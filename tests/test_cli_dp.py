@@ -91,3 +91,17 @@ def test_sample_uncond_dp_matches_single_device(tiny_setup, tmp_path, monkeypatc
         got = np.asarray(Image.open(os.path.join(save_dir, f"{idx}.png")))
         want = image_norm_to_uint8(expected[idx])
         np.testing.assert_array_equal(got, want)
+
+
+def test_dp_sharding_accepts_string_default_device():
+    """jax_default_device may hold a platform STRING (JAX_DEFAULT_DEVICE=cpu
+    stores the raw string); dp_sharding must not assume a Device object."""
+    import _common
+
+    prev = jax.config.jax_default_device
+    jax.config.update("jax_default_device", "cpu")
+    try:
+        mesh, shard, replicate = _common.dp_sharding()
+        assert mesh.devices.size == len(jax.devices("cpu"))
+    finally:
+        jax.config.update("jax_default_device", prev)

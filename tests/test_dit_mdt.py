@@ -298,8 +298,9 @@ def test_mdt_bucketed_len_keep_statistics():
     got = np.array([sample_len_keep(L, mr, u, n_buckets=nb) for u in us])
     want = np.floor(L * (1 - (mr + 0.2 * us)))  # reference int(L*(1-r))
 
-    lo, hi = int(L * (1 - mr - 0.2)), int(L * (1 - mr))
+    lo, hi = 128, 179  # exact support of int(256·(1-r)), r ~ U[0.3, 0.5)
     assert got.min() >= lo and got.max() <= hi
+    assert want.min() >= lo  # the reference draw never keeps fewer either
     assert len(np.unique(got)) <= nb          # static compile budget
     bucket_width = (hi - lo) / (nb - 1)
     assert abs(got.mean() - want.mean()) < bucket_width

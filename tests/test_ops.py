@@ -119,3 +119,26 @@ def test_converter_pads_null_class_row():
     emb = np.asarray(params["params"]["class_embed"]["embedding"])
     assert emb.shape[0] == 5
     np.testing.assert_array_equal(emb[-1], 0)
+
+
+def test_flash_mha_lowers_at_non_power_of_two_seq():
+    """Regression: tuned BlockSizes must divide the sequence — S=1536 passes
+    the %128 gate but is not a multiple of the 1024 k-block (SD page at
+    640²→80×80 tokens etc.); lowering used to raise at trace time."""
+    from dmtpu.ops.attention import flash_mha
+
+    for s in (1536, 2304, 6400):
+        q = jnp.zeros((1, s, 8, 64), jnp.float32)
+        jax.jit(flash_mha).lower(q, q, q)  # both platform branches trace
+
+
+def test_flash_gate_long_sequences_never_fall_back():
+    """Regression: the d<64 XLA-wins heuristic (measured at S=4096) must not
+    force the S×S-materialising path at very long sequences (SD1.5 at 1024²:
+    S=16384, d=40, b·h=128 → ~137 GB f32 logits)."""
+    from dmtpu.ops.attention import _should_use_flash
+
+    assert not _should_use_flash(16, 4096, 4096, 8, 40)   # measured XLA win
+    assert _should_use_flash(16, 16384, 16384, 8, 40)     # must take flash
+    assert _should_use_flash(4, 4096, 4096, 8, 40)        # few rows: flash
+    assert not _should_use_flash(1, 512, 512, 8, 64)      # short: XLA

@@ -72,3 +72,17 @@ def test_clip_t5_dual_encoder_returns_list(tiny_t5_dir):
     assert isinstance(out, list) and len(out) == 2
     assert out[0].shape == (2, 77, 768)
     assert out[1].shape == (2, 77, 32)
+
+
+def test_t5_embedder_keeps_injected_params(tiny_t5_dir):
+    """Regression: construction with injected params/tokenizer must not
+    eagerly (re)load the checkpoint and clobber them."""
+    from dmtpu.models.stablediffusion.text_encoders import FrozenT5Embedder
+
+    injected = {"params": {"marker": jnp.ones((1,))}}
+    emb = FrozenT5Embedder(version=tiny_t5_dir[0], params=injected,
+                           tokenizer=object())
+    assert emb.params is injected          # no eager load at init
+    emb._ensure_loaded()                   # lazy module load on first use...
+    assert emb.module is not None
+    assert emb.params is injected          # ...still must not clobber params
