@@ -52,9 +52,8 @@ def convert_mdt(state_dict: Dict[str, np.ndarray], init_params) -> Dict:
     def rename(k: str) -> Optional[str]:
         if k.endswith("relative_position_index"):
             return None
-        if k.endswith("pos_embed") or k == "mask_token":
-            # raw parameters (no weight/bias leaf): keep as-is
-            return k
+        # everything else (incl. raw pos_embed / mask_token params) keeps
+        # its torch name; the structural matcher handles the layout
         return k
 
     return convert_by_structure(state_dict, init_params, rename=rename)

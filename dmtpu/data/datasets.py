@@ -168,11 +168,39 @@ class CelebAHQ:
         if split != "all":
             k = {"train": 0, "valid": 1, "test": 2}[split]
             lo, hi = self._SPLITS[k], self._SPLITS[k + 1]
+            # The split boundaries are original-CelebA image numbers.  Raw
+            # CelebAMask-HQ filenames run 0..29999 instead; when the official
+            # mapping file is present, translate through it so that layout
+            # works too (the reference requires pre-renamed files).
+            idx_to_orig = {}
+            mapping_file = os.path.join(root, "CelebA-HQ-to-CelebA-mapping.txt")
+            if os.path.isfile(mapping_file):
+                with open(mapping_file) as f:
+                    next(f, None)  # header
+                    for line in f:
+                        parts = line.split()
+                        if len(parts) >= 3:
+                            idx_to_orig[int(parts[0])] = int(
+                                os.path.splitext(parts[2])[0])
 
             def keep(p):
-                return lo <= int(os.path.splitext(os.path.basename(p))[0]) < hi
+                name = os.path.splitext(os.path.basename(p))[0]
+                try:
+                    n = int(name)
+                except ValueError:
+                    raise ValueError(
+                        f"CelebAHQ expects numeric filenames, got {name!r} "
+                        "(original-CelebA numbers, or CelebAMask-HQ indices "
+                        "with CelebA-HQ-to-CelebA-mapping.txt present)")
+                return lo <= idx_to_orig.get(n, n) < hi
 
             paths = [p for p in paths if keep(p)]
+            if not paths:
+                raise ValueError(
+                    f"CelebAHQ split {split!r} matched 0 of the files under "
+                    f"{image_root}: filenames must carry original-CelebA "
+                    "numbers, or place CelebA-HQ-to-CelebA-mapping.txt "
+                    "beside CelebA-HQ-img/ for raw CelebAMask-HQ numbering")
         self.img_paths = paths
         flip_p = 0.5 if (split in ("train", "all") and transform_type != "none") else 0.0
         self.transform = transform or ImageTransform(img_size, flip_p=flip_p)

@@ -55,17 +55,24 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState((self.seed + self.epoch) % (2 ** 31))
             rng.shuffle(idx)
-        # stripe across hosts
-        idx = idx[self.shard_index::self.num_shards]
+        # stripe across hosts; pad by wrap-around first so every shard gets
+        # the SAME number of batches (torch DistributedSampler semantics —
+        # uneven shards deadlock multi-host lockstep training, where every
+        # step contains collectives)
+        if self.num_shards > 1:
+            per = -(-n // self.num_shards)
+            idx = np.resize(idx, per * self.num_shards)
+            idx = idx[self.shard_index::self.num_shards]
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
         return idx
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        n = len(self.dataset)
+        per = -(-n // self.num_shards) if self.num_shards > 1 else n
         if self.drop_last:
-            return n // self.batch_size
-        return (n + self.batch_size - 1) // self.batch_size
+            return per // self.batch_size
+        return -(-per // self.batch_size)
 
     def __iter__(self) -> Iterator[Any]:
         idx = self._epoch_indices()
@@ -94,14 +101,19 @@ class DataLoader:
 
         def producer():
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        break
-                    items = list(pool.map(lambda i: self.dataset[int(i)], b))
-                    if not _put(_collate(items)):
-                        return
-            _put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            break
+                        items = list(pool.map(lambda i: self.dataset[int(i)], b))
+                        if not _put(_collate(items)):
+                            return
+                _put(None)
+            except BaseException as e:  # noqa: BLE001
+                # surface dataset errors in the consumer — a dead producer
+                # thread would leave the training loop blocked on q.get()
+                _put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -110,6 +122,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     break
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -128,13 +128,15 @@ class DDIMCFG(DDIM, DDPMCFG):
     model call from ``DDPMCFG`` and the DDIM step math from ``DDIM``.
     """
 
-    def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y", *args: Any, **kwargs: Any):
-        DDPMCFG.__init__(self, guidance_scale, cond_kwarg, *args, **kwargs)
-        self.eta = float(kwargs.get("eta", 0.0))
+    def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y",
+                 *args: Any, eta: float = 0.0, **kwargs: Any):
+        # cooperative MRO walk (DDIM -> DDPMCFG -> DDPM) so every layer's
+        # init logic runs: DDIM's eta/var_type defaulting, DDPMCFG's scale.
+        super().__init__(*args, eta=eta, guidance_scale=guidance_scale,
+                         cond_kwarg=cond_kwarg, **kwargs)
 
-    _model_step = DDPMCFG._model_step
-    sample_loop = DDPMCFG.sample_loop
-    sample = DDPMCFG.sample
+    # resolved from DDPMCFG via the MRO (DDIM defines neither):
+    #   _model_step, sample_loop, sample
 
     def _inversion_objective(self):
         return "pred_eps"

@@ -359,7 +359,7 @@ class DDPM:
         stop = S if num_steps is None else min(S, start_step + num_steps)
         tape = {k: v[start_step:stop] for k, v in tape.items()}
         n = stop - start_step
-        keys = jax.random.split(rng, 2 * n).reshape(n, 2, -1)
+        keys = jax.random.split(rng, (n, 2))  # works for typed and legacy keys
 
         def body(x, row):
             c, key = row
@@ -416,10 +416,24 @@ class DDPMCFG(DDPM):
             raise ValueError(f"Condition argument `{self.cond_kwarg}` not found in model_kwargs.")
         cond = model_kwargs[self.cond_kwarg]
         uncond = self._uncond_conditioning
+        if uncond is None:
+            raise ValueError(
+                "CFG sampling requires `uncond_conditioning` (a null class "
+                "index / empty-prompt embedding pytree matching the "
+                f"conditional `{self.cond_kwarg}`); got None.")
         b = xt.shape[0]
         x2 = jnp.concatenate([xt, xt], axis=0)
         t2 = jnp.full((2 * b,), c["t"], dtype=jnp.int32)
-        merged = dict(model_kwargs)
+
+        def _double(v):
+            # any OTHER per-sample conditioning must follow the doubled batch
+            # (the reference's two separate B-sized calls keep kwargs
+            # consistent implicitly; the single 2B-batched call must tile)
+            return jax.tree.map(
+                lambda a: jnp.concatenate([a, a], axis=0)
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b else a, v)
+
+        merged = {k: _double(v) for k, v in model_kwargs.items()}
         merged[self.cond_kwarg] = jax.tree.map(
             lambda cc, uu: jnp.concatenate([cc, uu], axis=0), cond, uncond
         )

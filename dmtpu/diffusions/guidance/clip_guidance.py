@@ -3,10 +3,11 @@
 The reference backprops through HF CLIP on the predicted x0 each step
 (reference: diffusions/guidance/clip_guidance.py:38-50), re-preprocessing
 uint8 images on host per step.  TPU-native version: the whole
-similarity-gradient is inside the compiled loop — differentiable resize
-(jax.image) + CLIP normalisation + FlaxCLIP forward, with the text embedding
-precomputed once.  Guidance delta on the posterior mean is
-``w * sqrt(1/ᾱt) * var * dL/d(pred_x0)`` exactly as the reference.
+similarity-gradient is inside the compiled loop — in-graph preprocessing +
+FlaxCLIP forward, with the text embedding precomputed once.  Matching the
+reference, the gradient is taken w.r.t. the preprocessed ``pixel_values``
+and spatially resized back; the delta on the posterior mean is
+``w * sqrt(1/ᾱt) * var * resize(dL/d(pixel_values))``.
 """
 from __future__ import annotations
 
@@ -68,23 +69,34 @@ class CLIPGuidance(BaseGuidance):
     def set_text_embed(self, text_embed: Array):
         self.text_embed = text_embed / jnp.linalg.norm(text_embed, axis=-1, keepdims=True)
 
-    def _image_features(self, x0: Array) -> Array:
-        """Differentiable preprocessing + CLIP image tower.  x0 in [-1,1] NHWC."""
+    def _preprocess(self, x0: Array) -> Array:
+        """CLIP preprocessing in-graph: [-1,1] NHWC -> normalised NCHW
+        pixel_values (the reference round-trips through uint8 on host;
+        quantisation is non-differentiable and is dropped here)."""
         img = (x0 + 1.0) / 2.0
         b, h, w, c = img.shape
         img = jax.image.resize(img, (b, self.image_size, self.image_size, c), "bilinear")
         img = (img - _CLIP_MEAN) / _CLIP_STD
-        # FlaxCLIP expects NCHW pixel_values
-        pixel_values = jnp.transpose(img, (0, 3, 1, 2))
-        return self._image_features_raw(pixel_values)
+        return jnp.transpose(img, (0, 3, 1, 2))
 
     def cond_fn_mean(self, out, xt, c, rng):
         if self.text_embed is None:
             raise RuntimeError("Please call `set_text()` before sampling.")
+        # Gradient w.r.t. the preprocessed pixel_values, then spatially
+        # resized to the sample — NOT w.r.t. pred_x0 through the
+        # preprocessing chain, whose adjoint would rescale the delta by
+        # ~0.5/std per channel and change tuned guidance_weight behaviour
+        # (reference: diffusions/guidance/clip_guidance.py:42-50).
+        pixel_values = self._preprocess(out["pred_x0"])
 
-        def similarity(x0):
-            feats = self._image_features(x0)
+        def similarity(px):
+            feats = self._image_features_raw(px)
+            # reference similarity uses CLIPModel's NORMALISED image_embeds
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
             return jnp.sum(feats @ self.text_embed.T)
 
-        grad = jax.grad(similarity)(out["pred_x0"])
+        grad_px = jax.grad(similarity)(pixel_values)       # [B, C, 224, 224]
+        grad = jnp.transpose(grad_px, (0, 2, 3, 1))
+        b, h, w, c_ = xt.shape
+        grad = jax.image.resize(grad, (b, h, w, c_), "bilinear")  # antialiased
         return self.guidance_weight * c["sqrt_recip_ac"] * out["var"] * grad

@@ -117,10 +117,15 @@ class MaskGuidance(BaseGuidance):
         collect: Sequence[str] = (),
     ) -> Tuple[Array, Dict[str, Array]]:
         """(reference: diffusions/guidance/mask_guidance.py:70-95)"""
+        unsupported = [k for k in collect if k != "sample"]
+        if unsupported:
+            raise ValueError(
+                f"resample_loop can only collect 'sample': {unsupported} are "
+                "undefined on the schedule's renoise rows (no model call there)")
         model_kwargs = model_kwargs or {}
         tape = {k: jnp.asarray(v) for k, v in self.resample_tape(resample_r, resample_j).items()}
         n = int(tape["t"].shape[0])
-        keys = jax.random.split(rng, 3 * n).reshape(n, 3, -1)
+        keys = jax.random.split(rng, (n, 3))  # works for typed and legacy keys
 
         def denoise_branch(args):
             x, c, key = args

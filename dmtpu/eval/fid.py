@@ -74,15 +74,23 @@ class CLIPFeatureExtractor:
         mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
         std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
+        def image_features(m, pixel_values):
+            # FlaxCLIPModule (the .module of FlaxCLIPModel) has no
+            # get_image_features method — project the vision pooler output
+            # explicitly; keep supporting injected modules that do have it.
+            if hasattr(m, "get_image_features"):
+                return m.get_image_features(pixel_values=pixel_values)
+            pooled = m.vision_model(pixel_values=pixel_values)[1]
+            return m.visual_projection(pooled)
+
         def extract(p, imgs_u8):
             x = imgs_u8.astype(jnp.float32) / 255.0
             b = x.shape[0]
             x = jax.image.resize(x, (b, image_size, image_size, 3), "bilinear")
             x = (x - mean) / std
-            x = jnp.transpose(x, (0, 3, 1, 2))
-            feats = self.module.apply(
-                p, pixel_values=x,
-                method=getattr(self.module, "get_image_features", None))
+            # NHWC: the raw Flax module wants channels-last (only the
+            # FlaxCLIPModel WRAPPER accepts NCHW and transposes internally)
+            feats = self.module.apply(p, pixel_values=x, method=image_features)
             return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
         self._extract = jax.jit(extract)

@@ -246,13 +246,21 @@ class InceptionFeatureExtractor:
 
     def _batched(self, images_u8):
         np = self._np
+        # cache the last sweep by input identity: __call__ followed by
+        # classify on the same array (the natural FID-then-IS pattern) must
+        # not run the network twice
+        cached_id, cached = getattr(self, "_sweep_cache", (None, None))
+        if cached_id == id(images_u8):
+            return cached
         feats, probs = [], []
         for i in range(0, len(images_u8), self.batch_size):
             batch = jnp.asarray(np.asarray(images_u8[i:i + self.batch_size]))
             f, p = self._run(self.variables, batch)
             feats.append(np.asarray(f))
             probs.append(np.asarray(p))
-        return np.concatenate(feats), np.concatenate(probs)
+        out = (np.concatenate(feats), np.concatenate(probs))
+        self._sweep_cache = (id(images_u8), out)
+        return out
 
     def features_and_probs(self, images_u8):
         """One network sweep → (pool3 [N,2048], class probs [N,1008]).

@@ -225,24 +225,6 @@ class AttentionPool2d(nn.Module):
         return out[:, 0]
 
 
-def _level_channels(model_channels: int, channel_mult: Sequence[int], num_res_blocks: int):
-    """Input-block channel bookkeeping shared by UNet and EncoderUNet."""
-    ch = int(channel_mult[0] * model_channels)
-    chans = [ch]
-    specs = []  # list of ("res", in, out, attn) / ("down", ch)
-    ds = 1
-    for level, mult in enumerate(channel_mult):
-        for _ in range(num_res_blocks):
-            specs.append(("res", ch, int(mult * model_channels), ds))
-            ch = int(mult * model_channels)
-            chans.append(ch)
-        if level != len(channel_mult) - 1:
-            specs.append(("down", ch, ch, ds))
-            chans.append(ch)
-            ds *= 2
-    return ch, chans, specs, ds
-
-
 class UNetModel(nn.Module):
     """(reference: models/adm/unet.py:415-683)"""
 

@@ -82,7 +82,7 @@ class SDXLConditioner:
         ids = jnp.zeros((1, 77), jnp.int32)
         return {
             "clip_l": self.clip_l.init(rng, ids, output_layer=-2),
-            "clip_g": self.clip_g.init(rng, ids, output_layer="penultimate", return_pooled=True),
+            "clip_g": self.clip_g.init(rng, ids, output_layer="penultimate-nonorm", return_pooled=True),
         }
 
     def __call__(
@@ -99,7 +99,7 @@ class SDXLConditioner:
         z_l = self.clip_l.apply(params["clip_l"], tokens_l, output_layer=-2)
         # bigG: penultimate hidden + pooled-projected
         z_g, pooled = self.clip_g.apply(params["clip_g"], tokens_g,
-                                        output_layer="penultimate", return_pooled=True)
+                                        output_layer="penultimate-nonorm", return_pooled=True)
         if force_zero_text:
             z_l, z_g, pooled = jnp.zeros_like(z_l), jnp.zeros_like(z_g), jnp.zeros_like(pooled)
         # crossattn: feature-dim concat (KEY2CATDIM['crossattn']=2)

@@ -73,7 +73,11 @@ class CLIPTextTransformer(nn.Module):
     """Causal CLIP text tower.
 
     ``output_layer``: 'last' (after all blocks; final LN applied),
-    'penultimate' (skip last block; final LN applied — open_clip semantics),
+    'penultimate' (skip last block; final LN applied — SD2.x legacy
+    open_clip semantics), 'penultimate-nonorm' (skip last block, NO final
+    LN — SDXL's FrozenOpenCLIPEmbedder2 with legacy=False returns the raw
+    penultimate hidden; ln_final is only applied on the LAST hidden for the
+    pooled vector, reference: models/sdxl/conditioner.py:307-331),
     or a negative int (HF hidden_states index; NO final LN, matching
     ``output_hidden_states`` semantics of FrozenCLIPEmbedder layer='hidden').
     """
@@ -104,7 +108,13 @@ class CLIPTextTransformer(nn.Module):
             sel, final_ln = -1, True
         elif output_layer == "penultimate":
             sel, final_ln = -2, True
+        elif output_layer == "penultimate-nonorm":
+            sel, final_ln = -2, False
         else:
+            if output_layer is None:
+                raise ValueError(
+                    "output_layer is None — a config using layer='hidden' "
+                    "must also set layer_idx")
             sel, final_ln = int(output_layer), False  # HF hidden_states[idx], no final LN
 
         # run every layer (registers all params; XLA dead-code-eliminates the

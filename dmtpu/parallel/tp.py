@@ -27,9 +27,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dmtpu.parallel.mesh import FSDP_AXIS
 
-# flax path-suffix -> which kernel axis is split over the model axis
+# flax path-suffix -> which kernel axis is split over the model axis.
+# Row-parallel layers must sit downstream of a column-parallel producer
+# (Megatron pairing); a bare "proj" leaf is NOT enough — AdaGN / ResBlock
+# time-embed projections are also named "proj" but consume REPLICATED
+# embeddings, and row-sharding them only buys a useless psum per block.
+# "attn__proj" scopes the rule to the DiT/MDT attention out-projection,
+# whose qkv producer is column-sharded.
 _COLUMN = ("to_q", "to_k", "to_v", "net__0__proj", "net__0__0", "qkv")
-_ROW = ("to_out__0", "net__2", "proj_out", "proj")
+_ROW = ("to_out__0", "net__2", "proj_out", "attn__proj")
 
 
 def _classify(path: Tuple[str, ...]) -> str:

@@ -128,12 +128,11 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
         return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
 
     new_params = place_like(state.params, psh)
+
     # optimizer moments dominate HBM; shard any leaf whose shape matches a
     # parameter's by the same fsdp rule, replicate the rest (counters etc.)
-    from dmtpu.parallel.mesh import param_sharding as _psh_fn
-
     def opt_leaf(x):
-        sh = _psh_fn(mesh, {"x": x})["x"] if hasattr(x, "ndim") else rep
+        sh = param_sharding(mesh, {"x": x})["x"] if hasattr(x, "ndim") else rep
         return jax.device_put(x, sh)
 
     new_opt = jax.tree.map(opt_leaf, state.opt_state)

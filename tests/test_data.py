@@ -117,3 +117,59 @@ def test_dataset_with_mask():
     ds = DatasetWithMask(Synthetic(img_size=16, n=4, seed=0), mask_type="center")
     img, mask = ds[0]
     assert img.shape == (16, 16, 3) and mask.shape == (16, 16, 1)
+
+
+def test_loader_producer_exception_surfaces():
+    """Regression: a dataset error inside the producer thread must raise in
+    the consumer, not leave it blocked on the queue forever."""
+
+    class Bad:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("corrupt item")
+            return np.zeros((4, 4, 3), np.float32)
+
+    dl = DataLoader(Bad(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt item"):
+        for _ in dl:
+            pass
+
+
+def test_loader_shards_get_equal_batch_counts():
+    """Regression: uneven stripes deadlock multi-host lockstep training;
+    shards must pad by wrap-around to the same batch count
+    (torch DistributedSampler semantics)."""
+    ds = Synthetic(img_size=4, n=9, seed=0)
+    shards = [DataLoader(ds, batch_size=5, shuffle=False, num_shards=2,
+                         shard_index=i, num_workers=0) for i in (0, 1)]
+    counts = [sum(1 for _ in s) for s in shards]
+    assert counts[0] == counts[1] == 1
+    assert all(len(s) == c for s, c in zip(shards, counts))
+
+
+def test_celebahq_mapping_file_and_empty_split(tmp_path):
+    from PIL import Image
+
+    from dmtpu.data import CelebAHQ
+
+    img_root = tmp_path / "CelebA-HQ-img"
+    img_root.mkdir()
+    for i in range(4):  # raw CelebAMask-HQ numbering 0..3
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_root / f"{i}.jpg")
+    # official mapping: HQ idx -> original CelebA filename
+    origs = ["000010.jpg", "162800.jpg", "182700.jpg", "202599.jpg"]
+    lines = ["idx orig_idx orig_file"] + [f"{i} {i} {o}" for i, o in enumerate(origs)]
+    (tmp_path / "CelebA-HQ-to-CelebA-mapping.txt").write_text("\n".join(lines))
+
+    assert len(CelebAHQ(str(tmp_path), img_size=8, split="train")) == 1   # 10
+    assert len(CelebAHQ(str(tmp_path), img_size=8, split="valid")) == 1   # 162800
+    assert len(CelebAHQ(str(tmp_path), img_size=8, split="test")) == 2    # 182700, 202599
+    assert len(CelebAHQ(str(tmp_path), img_size=8, split="all")) == 4
+
+    # without the mapping file, raw 0..3 numbering matches no split -> loud
+    (tmp_path / "CelebA-HQ-to-CelebA-mapping.txt").unlink()
+    with pytest.raises(ValueError, match="mapping"):
+        CelebAHQ(str(tmp_path), img_size=8, split="test")

@@ -54,3 +54,25 @@ def test_inception_score_bounds():
     onehot = np.eye(10)[rs.randint(0, 10, 1000)] * 0.999 + 1e-4
     m2, _ = inception_score(onehot / onehot.sum(1, keepdims=True))
     assert 8.0 < m2 <= 10.01
+
+
+def test_clip_extractor_works_with_raw_flax_module():
+    """Regression: FlaxCLIPModule has no get_image_features; the extractor
+    must project the vision pooler output itself."""
+    from transformers import CLIPConfig, FlaxCLIPModel
+
+    from dmtpu.eval import CLIPFeatureExtractor
+
+    cfg = CLIPConfig(
+        text_config=dict(hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4),
+        vision_config=dict(hidden_size=32, intermediate_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           image_size=32, patch_size=8),
+        projection_dim=16)
+    m = FlaxCLIPModel(cfg)
+    ext = CLIPFeatureExtractor(module=m.module, params={"params": m.params},
+                              image_size=32, batch_size=4)
+    feats = ext(np.zeros((6, 16, 16, 3), np.uint8))
+    assert feats.shape == (6, 16)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, rtol=1e-4)

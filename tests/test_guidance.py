@@ -147,3 +147,52 @@ def test_base_guidance_eps_hook_parity(monkeypatch):
     ours = _EpsShift(**KW)
     got = ours.sample(jx_model, jnp.asarray(nhwc(init)), jax.random.PRNGKey(0))
     np.testing.assert_allclose(nhwc(want), np.asarray(got), rtol=2e-3, atol=2e-3)
+
+
+def test_repaint_collect_contract_is_loud():
+    """Regression: resample_loop used to silently drop non-'sample' collect
+    keys; it must raise instead."""
+    from dmtpu.diffusions.guidance.mask_guidance import MaskGuidance
+
+    g = MaskGuidance(total_steps=10)
+    g.set_mask_and_image(jnp.ones((1, 8, 8, 1)), jnp.zeros((1, 8, 8, 3)))
+    with pytest.raises(ValueError, match="renoise"):
+        g.resample_loop(lambda x, t: 0.01 * x, jnp.zeros((1, 8, 8, 3)),
+                        jax.random.PRNGKey(0), collect=("pred_x0",))
+
+
+def test_clip_guidance_grad_wrt_pixel_values():
+    """The guidance delta must equal w·sqrt(1/ᾱ)·var·resize(dL/d pixel_values)
+    — NOT the gradient through the preprocessing chain, whose ~0.5/std
+    per-channel adjoint silently rescales tuned guidance weights
+    (reference: diffusions/guidance/clip_guidance.py:42-50)."""
+    from dmtpu.diffusions.guidance.clip_guidance import (
+        CLIPGuidance, _CLIP_MEAN, _CLIP_STD)
+
+    rs = np.random.RandomState(0)
+    W = jnp.asarray(rs.randn(3 * 8 * 8, 4).astype(np.float32))
+    img_fn = lambda px: px.reshape(px.shape[0], -1) @ W  # noqa: E731
+    g = CLIPGuidance(
+        guidance_weight=2.0, image_size=8,
+        text_features_fn=lambda i, m: None, image_features_fn=img_fn,
+        tokenizer=object(), total_steps=10)
+    v = jnp.asarray(rs.randn(1, 4).astype(np.float32))
+    g.set_text_embed(v)
+
+    x0 = jnp.asarray(rs.rand(2, 8, 8, 3).astype(np.float32) * 2 - 1)
+    out = {"pred_x0": x0, "var": jnp.float32(0.25)}
+    c = {"sqrt_recip_ac": jnp.float32(1.5)}
+    got = g.cond_fn_mean(out, x0, c, jax.random.PRNGKey(0))
+
+    # independent reference-style computation: preprocess forward, grad wrt
+    # the preprocessed pixel values only (8x8 -> identity resize here)
+    px = jnp.transpose(((x0 + 1) / 2 - _CLIP_MEAN) / _CLIP_STD, (0, 3, 1, 2))
+    vn = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+
+    def sim(p):
+        f = img_fn(p)
+        f = f / jnp.linalg.norm(f, axis=-1, keepdims=True)
+        return jnp.sum(f @ vn.T)
+
+    want = 2.0 * 1.5 * 0.25 * jnp.transpose(jax.grad(sim)(px), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)

@@ -221,3 +221,17 @@ def test_tensor_parallel_sd_unet_matches_replicated():
     x_sh = jax.device_put(x, batch_sharding(mesh))
     got = np.asarray(jax.jit(model.apply)(p_tp, x_sh, t, ctx))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_tp_rules_do_not_shard_embedding_projections():
+    """Regression: bare 'proj' leaves (AdaGN / ResBlock time-embed
+    projections fed by REPLICATED embeddings) must stay replicated; only
+    attention/ff pairs get the Megatron column/row split."""
+    from dmtpu.parallel.tp import _classify
+
+    assert _classify(("blocks_0", "attn", "proj", "kernel")) == "row"
+    assert _classify(("down_0", "res_0", "proj", "kernel")) == "replicate"
+    assert _classify(("ada", "proj", "kernel")) == "replicate"
+    assert _classify(("t1", "to_q", "kernel")) == "column"
+    assert _classify(("t1", "to_out__0", "kernel")) == "row"
+    assert _classify(("blocks_0", "attn", "qkv", "kernel")) == "column"

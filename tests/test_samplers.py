@@ -257,3 +257,48 @@ def test_ddpm_ip_loss_parity():
                                eps=jnp.asarray(nhwc(eps)),
                                perturb_eps=jnp.asarray(nhwc(pert))))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_cfg_doubles_every_batched_model_kwarg(x_init):
+    """Regression: the single 2B-batched CFG call must tile ALL per-sample
+    kwargs, not just the cond kwarg (the reference's two B-sized calls keep
+    them consistent implicitly)."""
+    sam = DDPMCFG(guidance_scale=2.0, cond_kwarg="y", total_steps=10)
+    b = x_init.shape[0]
+    ctx = jnp.ones((b, 5, 7))
+
+    def model_fn(x, t, y, context):
+        assert context.shape[0] == x.shape[0], (context.shape, x.shape)
+        return 0.01 * x + 0.0 * context.mean() + 0.0 * y[:, None, None, None]
+
+    out = sam.sample(model_fn, x_init, jax.random.PRNGKey(0),
+                     uncond_conditioning=jnp.full((b,), 9, jnp.int32),
+                     model_kwargs={"y": jnp.zeros((b,), jnp.int32),
+                                   "context": ctx})
+    assert out.shape == x_init.shape
+
+
+def test_cfg_missing_uncond_raises_clearly(x_init):
+    sam = DDPMCFG(guidance_scale=2.0, total_steps=10)
+    with pytest.raises(ValueError, match="uncond_conditioning"):
+        sam.sample(lambda x, t, y: 0.01 * x, x_init, jax.random.PRNGKey(0),
+                   model_kwargs={"y": jnp.zeros((x_init.shape[0],), jnp.int32)})
+
+
+def test_samplers_accept_typed_prng_keys(x_init):
+    """Regression: jax.random.key(0) (typed keys) must work everywhere the
+    legacy uint32 PRNGKey does."""
+    sam = DDPM(total_steps=10)
+    out = sam.sample(lambda x, t: 0.01 * x, x_init, jax.random.key(0))
+    assert out.shape == x_init.shape
+    legacy = sam.sample(lambda x, t: 0.01 * x, x_init, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(legacy), atol=1e-6)
+
+
+def test_ddimcfg_cooperative_init():
+    """Regression: DDIMCFG must run DDIM.__init__ through the MRO (eta set,
+    DDIM's var_type default applied) instead of skipping to DDPMCFG."""
+    sam = DDIMCFG(guidance_scale=3.0, cond_kwarg="y", total_steps=100, eta=0.5)
+    assert sam.eta == 0.5
+    assert sam.guidance_scale == 3.0
+    assert sam.var_type == DDIM(total_steps=100).var_type

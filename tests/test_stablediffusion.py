@@ -209,3 +209,34 @@ def test_openclip_layout_conversion():
     p_oc = convert_by_structure(openclip_text_to_hf(oc), init)
     for a, b in zip(jax.tree.leaves(p_hf), jax.tree.leaves(p_oc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_penultimate_nonorm_semantics():
+    """SDXL's bigG crossattn slice is the RAW penultimate hidden —
+    ln_final is only applied for the pooled vector (reference:
+    models/sdxl/conditioner.py:307-331, legacy=False).  'penultimate'
+    (SD2.x legacy) = final LN of the same hidden."""
+    from dmtpu.models.stablediffusion.text_encoders import CLIPTextTransformer
+    from flax import linen as nn
+
+    model = CLIPTextTransformer(vocab_size=50, max_length=8, width=16,
+                                layers=2, heads=2, projection_dim=16)
+    ids = jnp.asarray(np.random.RandomState(0).randint(1, 50, (2, 8)))
+    params = model.init(jax.random.PRNGKey(0), ids, return_pooled=True)
+
+    raw = model.apply(params, ids, output_layer="penultimate-nonorm")
+    ln = model.apply(params, ids, output_layer="penultimate")
+    p = params["params"]["final_layer_norm"]
+    want_ln = nn.LayerNorm(epsilon=1e-5).apply({"params": p}, raw)
+    np.testing.assert_allclose(np.asarray(ln), np.asarray(want_ln), rtol=1e-5, atol=1e-6)
+    assert float(np.max(np.abs(np.asarray(ln) - np.asarray(raw)))) > 1e-3
+
+    # pooled vector is unaffected by the crossattn-slice choice
+    _, pooled_a = model.apply(params, ids, output_layer="penultimate-nonorm",
+                              return_pooled=True)
+    _, pooled_b = model.apply(params, ids, output_layer="penultimate",
+                              return_pooled=True)
+    np.testing.assert_allclose(np.asarray(pooled_a), np.asarray(pooled_b))
+
+    with pytest.raises(ValueError, match="layer_idx"):
+        model.apply(params, ids, output_layer=None)
