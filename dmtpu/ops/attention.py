@@ -61,13 +61,6 @@ def mha(
     return out.astype(q.dtype)
 
 
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 @functools.lru_cache(maxsize=1)
 def _pallas_flash():
     try:

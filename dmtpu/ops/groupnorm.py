@@ -95,25 +95,23 @@ def _pallas_forward(x: Array, scale: Array, bias: Array, groups: int, eps: float
     return out.reshape(b, h, w, c)
 
 
-def _on_tpu() -> bool:
-    try:
-        dev = jax.config.jax_default_device
-        if dev is not None:
-            return dev.platform == "tpu"
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def group_norm_silu(x: Array, scale: Array, bias: Array, groups: int = 32,
                     eps: float = 1e-5, silu: bool = True) -> Array:
     """Fused GroupNorm(+SiLU), NHWC.  scale/bias: [C]."""
     b, h, w, c = x.shape
     fits = (h * w) * c * 4 <= _VMEM_BUDGET_BYTES and c % 128 == 0 and c % groups == 0
-    if _on_tpu() and fits:
-        return _pallas_forward(x, scale, bias, groups, eps, silu)
-    return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
+    if not fits:
+        return group_norm_silu_reference(x, scale, bias, groups, eps, silu)
+    # Branch per LOWERING platform, not the trace-time device list: under the
+    # axon tunnel jax.devices() says TPU even while this computation compiles
+    # for the virtual CPU mesh, where the Pallas TPU kernel cannot lower
+    # (same rationale as dmtpu.ops.attention.flash_mha).
+    return jax.lax.platform_dependent(
+        x, scale, bias,
+        tpu=lambda xx, ss, bb: _pallas_forward(xx, ss, bb, groups, eps, silu),
+        default=lambda xx, ss, bb: group_norm_silu_reference(xx, ss, bb, groups, eps, silu),
+    )
 
 
 def _fwd(x, scale, bias, groups, eps, silu):

@@ -30,7 +30,22 @@ def base_parser() -> argparse.ArgumentParser:
 
 
 def load_conf(args, unknown):
-    return merge_dotlist(load_config(args.config), [a for a in unknown if "=" in a])
+    """Merge dotlist overrides over the config file.
+
+    Accepts both ``key=value`` and ``--key=value`` (leading dashes are
+    stripped, matching the train scripts); anything else among the unknown
+    args is a typo'd flag and aborts instead of being silently dropped.
+    """
+    overrides, bad = [], []
+    for a in unknown:
+        if "=" in a:
+            overrides.append(a.lstrip("-"))
+        else:
+            bad.append(a)
+    if bad:
+        raise SystemExit(f"unrecognized arguments: {bad} "
+                         "(config overrides must be key=value)")
+    return merge_dotlist(load_config(args.config), overrides)
 
 
 def diffusion_params(args, conf, **extra):

@@ -29,8 +29,14 @@ import numpy as np  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
 
 
-def load_images_u8(path: str, img_size: int, limit: int = 0) -> np.ndarray:
-    """Directory of images -> uint8 NHWC array (resized to img_size)."""
+def load_images_u8(path: str, img_size: int = None, limit: int = 0) -> np.ndarray:
+    """Directory of images -> uint8 NHWC array.
+
+    ``img_size=None`` (default) keeps the NATIVE resolution of the first
+    image (stragglers are resized to it) — matching torch-fidelity, which
+    feeds full-resolution images and lets the Inception pipeline do the
+    299² resize.  An explicit ``img_size`` force-resizes everything.
+    """
     from PIL import Image
 
     files = []
@@ -42,20 +48,25 @@ def load_images_u8(path: str, img_size: int, limit: int = 0) -> np.ndarray:
         files = files[:limit]
     if not files:
         raise FileNotFoundError(f"no images under {path}")
-    out = np.zeros((len(files), img_size, img_size, 3), np.uint8)
-    for i, f in enumerate(files):
+    size = (img_size, img_size) if img_size else None
+    ims = []
+    for f in files:
         im = Image.open(f).convert("RGB")
-        if im.size != (img_size, img_size):
-            im = im.resize((img_size, img_size), Image.BICUBIC)
-        out[i] = np.asarray(im)
-    return out
+        if size is None:
+            size = im.size  # native (w, h) of the first image
+        if im.size != size:
+            im = im.resize(size, Image.BICUBIC)
+        ims.append(np.asarray(im))
+    return np.stack(ims)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--real_dir", required=True)
     p.add_argument("--fake_dir", required=True)
-    p.add_argument("--img_size", type=int, default=32)
+    p.add_argument("--img_size", type=int, default=None,
+                   help="force-resize images before extraction "
+                        "(default: keep native resolution, like torch-fidelity)")
     p.add_argument("--n_max", type=int, default=0, help="cap images per side (0 = all)")
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--inception_weights", default=None,

@@ -66,26 +66,32 @@ def main():
         # DiT/MDT: sample 4-ch latents at size/8, decode with the VAE
         # (streamlit-page semantics, reference: streamlit/pages/1_...py:86-107)
         shape = (shape[0] // 8, shape[1] // 8, 4)
-        vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
-        params = model.load_state_dict(load_torch_weights(args.weights), vae_sd)
-        base_fn = model.make_model_fn(params)
+        if args.weights.endswith(".npz"):
+            # convert_checkpoint.py export of the full latent params tree
+            data = dict(np.load(args.weights, allow_pickle=True))
+            params = jax.tree.map(jnp.asarray, data["params"].item())
+        else:
+            vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
+            params = model.load_state_dict(load_torch_weights(args.weights), vae_sd)
         # DiT/MDT null class row == num_classes (class_dropout_prob > 0)
     else:
         params = load_model_params(
             args.weights, model,
             (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)),
         )
-        base_fn = None
     dp = DataParallelSampler(params)
     params = dp.params
+    has_vae = bool(is_latent and params.get("vae"))
     logger.info(f"Loaded weights from {args.weights} "
                 f"(data-parallel over {dp.ndev} device(s))")
 
     @jax.jit
     def sample_jit(prm, noise, key, y):
+        # the denoiser reads the replicated `prm` ARGUMENT (not a closure
+        # copy) so DP replication/sharding applies to the weights too
         def model_fn(x, t, y=None, **kw):
             if is_latent:
-                return base_fn(x, t, y)
+                return model.vit_forward(prm, x, t, y)
             return model.apply(prm, x, t, y)
 
         # null class == num_classes row (zero-initialised, y=None equivalent)
@@ -94,8 +100,8 @@ def main():
             uncond_conditioning=jnp.full((noise.shape[0],), num_classes, jnp.int32),
             model_kwargs=dict(y=y),
         )
-        if is_latent and params.get("vae"):
-            return model.decode_latent(params, z)
+        if has_vae:
+            return model.decode_latent(prm, z)
         return z
 
     os.makedirs(args.save_dir, exist_ok=True)
@@ -103,11 +109,12 @@ def main():
         os.makedirs(os.path.join(args.save_dir, f"class{c}"), exist_ok=True)
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples_each_class, args.batch_size)):
-            k = jax.random.fold_in(jax.random.fold_in(rng, c), i)
-            noise = jax.random.normal(k, (bs,) + shape)
+            k_noise, k_samp = jax.random.split(
+                jax.random.fold_in(jax.random.fold_in(rng, c), i))
+            noise = jax.random.normal(k_noise, (bs,) + shape)
             y = jnp.full((bs,), c, jnp.int32)
             (noise, y), bs = dp.pad_shard((noise, y))
-            out = np.clip(np.asarray(sample_jit(params, noise, k, y))[:bs], -1, 1)
+            out = np.clip(np.asarray(sample_jit(params, noise, k_samp, y))[:bs], -1, 1)
             for img in out:
                 save_image(img, os.path.join(args.save_dir, f"class{c}", f"{idx}.png"))
                 idx += 1

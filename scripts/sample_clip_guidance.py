@@ -66,9 +66,9 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     idx = 0
     for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
-        k = jax.random.fold_in(rng, i)
-        noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
-        out = np.clip(np.asarray(sample_jit(params, noise, k))[:bs], -1, 1)
+        k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+        noise, bs = dp.pad_shard(jax.random.normal(k_noise, (bs,) + shape))
+        out = np.clip(np.asarray(sample_jit(params, noise, k_samp))[:bs], -1, 1)
         for img in out:
             save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
             idx += 1

@@ -67,10 +67,10 @@ def main():
     os.makedirs(args.save_dir, exist_ok=True)
     for i in range(0, n, args.batch_size):
         refs = np.stack([dataset[j] for j in range(i, min(i + args.batch_size, n))])
-        k = jax.random.fold_in(rng, i)
-        noise = jax.random.normal(k, refs.shape)
+        k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+        noise = jax.random.normal(k_noise, refs.shape)
         (refs_sh, noise), nb = dp.pad_shard((jnp.asarray(refs), noise))
-        out = np.clip(np.asarray(ilvr_jit(params, refs_sh, noise, k))[:nb], -1, 1)
+        out = np.clip(np.asarray(ilvr_jit(params, refs_sh, noise, k_samp))[:nb], -1, 1)
         for b in range(len(refs)):
             save_image_grid(np.stack([refs[b], out[b]]),
                             os.path.join(args.save_dir, f"{i + b}.png"), nrow=2)

@@ -73,11 +73,11 @@ def main():
         imgs = np.stack([it[0] for it in items])
         masks = np.stack([it[1] for it in items])
         masked = imgs * masks
-        k = jax.random.fold_in(rng, i)
-        noise = jax.random.normal(k, imgs.shape)
+        k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+        noise = jax.random.normal(k_noise, imgs.shape)
         (masked_sh, masks_sh, noise), nb = dp.pad_shard(
             (jnp.asarray(masked), jnp.asarray(masks), noise))
-        out = np.clip(np.asarray(inpaint_jit(params, masked_sh, masks_sh, noise, k))[:nb], -1, 1)
+        out = np.clip(np.asarray(inpaint_jit(params, masked_sh, masks_sh, noise, k_samp))[:nb], -1, 1)
         for b in range(len(imgs)):
             trip = np.stack([imgs[b], masked[b] + (1 - masks[b]) * 1.0, out[b]])
             save_image_grid(trip, os.path.join(args.save_dir, f"{i + b}.png"), nrow=3)

@@ -25,12 +25,17 @@ import numpy as np  # noqa: E402
 
 from dmtpu.data import ImageDir  # noqa: E402
 from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler  # noqa: E402
-from dmtpu.utils.config import instantiate_from_config, load_config, merge_dotlist  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
 from dmtpu.utils.misc import amortize  # noqa: E402
-from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
-from _common import DataParallelSampler  # noqa: E402
+from _common import (  # noqa: E402
+    DataParallelSampler,
+    base_parser,
+    diffusion_params,
+    load_conf,
+    load_model_params,
+)
 
 COMPATIBLE_SAMPLER_MODE = dict(
     ddpm=["sample", "denoise", "progressive"],
@@ -41,17 +46,10 @@ COMPATIBLE_SAMPLER_MODE = dict(
 
 
 def get_parser():
-    p = argparse.ArgumentParser()
-    p.add_argument("-c", "--config", type=str, required=True)
-    p.add_argument("--seed", type=int, default=2022)
-    p.add_argument("--weights", type=str, required=True,
-                   help="orbax ckpt dir, .npz, or torch .pt/.safetensors")
+    p = base_parser()
+    p.set_defaults(batch_size=500)
     p.add_argument("--n_samples", type=int, required=True)
-    p.add_argument("--save_dir", type=str, required=True)
-    p.add_argument("--batch_size", type=int, default=500)
     p.add_argument("--sampler", type=str, choices=list(COMPATIBLE_SAMPLER_MODE), default="ddpm")
-    p.add_argument("--respace_type", type=str, default="uniform")
-    p.add_argument("--respace_steps", type=int, default=None)
     p.add_argument("--var_type", type=str, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0)
     p.add_argument("--mode", type=str, default="sample",
@@ -64,36 +62,13 @@ def get_parser():
 
 
 def build_diffuser(args, conf):
-    params = dict(conf.diffusion.get("params", {}))
-    if args.respace_steps is not None:
-        params.update(respace_type=args.respace_type, respace_steps=args.respace_steps)
+    extra = {}
     if args.var_type is not None:
-        params["var_type"] = args.var_type
-    cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}[args.sampler]
+        extra["var_type"] = args.var_type
     if args.sampler == "ddim":
-        params["eta"] = args.ddim_eta
-    params.pop("device", None)
-    return cls(**params)
-
-
-def load_params(path, model, sample_shape):
-    """Load model params from orbax / npz / torch formats."""
-    x = jnp.zeros(sample_shape)
-    t = jnp.zeros((1,), jnp.int32)
-    if os.path.isdir(path):  # orbax TrainState checkpoint -> EMA params
-        from dmtpu.utils import checkpoint as ckpt_lib
-
-        state = ckpt_lib.load_checkpoint(path)
-        if isinstance(state, dict) and "ema" in state and state["ema"]:
-            return {"params": state["ema"]["shadow"]["params"]}
-        return {"params": state["params"]["params"]}
-    if path.endswith(".npz"):
-        data = dict(np.load(path, allow_pickle=True))
-        return jax.tree.map(jnp.asarray, data["params"].item())
-    # torch checkpoint
-    sd = load_torch_weights(path)
-    init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t)
-    return convert_by_structure(sd, init)
+        extra["eta"] = args.ddim_eta
+    cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}[args.sampler]
+    return cls(**diffusion_params(args, conf, **extra))
 
 
 def slerp(t, z1, z2):
@@ -107,7 +82,7 @@ def main():
     args, unknown = get_parser().parse_known_args()
     if args.mode not in COMPATIBLE_SAMPLER_MODE[args.sampler]:
         raise ValueError(f"mode {args.mode} is incompatible with sampler {args.sampler}")
-    conf = merge_dotlist(load_config(args.config), [a for a in unknown if "=" in a])
+    conf = load_conf(args, unknown)
     logger = get_logger()
     rng = jax.random.PRNGKey(args.seed)
 
@@ -117,7 +92,9 @@ def main():
 
     diffuser = build_diffuser(args, conf)
     model = instantiate_from_config(conf.model)
-    dp = DataParallelSampler(load_params(args.weights, model, (1,) + shape))
+    dp = DataParallelSampler(load_model_params(
+        args.weights, model,
+        (jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32))))
     params = dp.params
     logger.info(f"Loaded weights from {args.weights} "
                 f"(data-parallel over {dp.ndev} device(s))")
@@ -135,9 +112,10 @@ def main():
 
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
-            k = jax.random.fold_in(rng, i)
-            noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
-            out = np.clip(np.asarray(sample_fn(noise, k))[:bs], -1, 1)
+            # independent keys for the initial noise and the reverse process
+            k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+            noise, bs = dp.pad_shard(jax.random.normal(k_noise, (bs,) + shape))
+            out = np.clip(np.asarray(sample_fn(noise, k_samp))[:bs], -1, 1)
             for img in out:
                 save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
                 idx += 1
@@ -153,9 +131,9 @@ def main():
 
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
-            k = jax.random.fold_in(rng, i)
-            noise, bs = dp.pad_shard(jax.random.normal(k, (bs,) + shape))
-            _, ys = loop_fn(noise, k)
+            k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+            noise, bs = dp.pad_shard(jax.random.normal(k_noise, (bs,) + shape))
+            _, ys = loop_fn(noise, k_samp)
             traj = np.clip(np.asarray(ys[key])[:, :bs], -1, 1)  # [S, B, H, W, C]
             traj = traj[::-1][::freq][::-1]  # keep every freq-th, ending at final
             for b in range(bs):
@@ -171,11 +149,12 @@ def main():
 
         for i in range(args.n_samples):
             k = jax.random.fold_in(rng, i)
-            z1 = jax.random.normal(jax.random.fold_in(k, 0), shape)
-            z2 = jax.random.normal(jax.random.fold_in(k, 1), shape)
+            k1, k2, k_samp = jax.random.split(k, 3)
+            z1 = jax.random.normal(k1, shape)
+            z2 = jax.random.normal(k2, shape)
             ts = jnp.linspace(0, 1, args.n_interpolate)
             noise, nb = dp.pad_shard(jnp.stack([slerp(t, z1, z2) for t in ts]))
-            out = np.clip(np.asarray(sample_fn(noise, k))[:nb], -1, 1)
+            out = np.clip(np.asarray(sample_fn(noise, k_samp))[:nb], -1, 1)
             save_image_grid(out, os.path.join(args.save_dir, f"{i}.png"), nrow=args.n_interpolate)
             logger.info(f"Sampled {i + 1}/{args.n_samples}")
 

@@ -153,8 +153,9 @@ def main():
     def sample_and_save(savepath: str, key):
         p = state.ema.shadow if state.ema is not None else state.params
         n = conf.train.n_samples
-        noise = jax.random.normal(key, (n, img_size, img_size, img_ch))
-        samples = np.clip(np.asarray(sample_fn(p, noise, key)), -1, 1)
+        k_noise, k_samp = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (n, img_size, img_size, img_ch))
+        samples = np.clip(np.asarray(sample_fn(p, noise, k_samp)), -1, 1)
         if is_main:
             save_image_grid(samples, savepath, nrow=math.ceil(math.sqrt(n)))
 
@@ -167,18 +168,22 @@ def main():
     gen = get_data_generator(loader)
     timer = StepTimer()
     pending = []
+    run_start_step = step  # profiling windows are relative to THIS run (resume-safe)
+    tracing = False
     while step < conf.train.n_steps:
-        if args.profile and step == 10:
+        if args.profile and step - run_start_step == 10:
             jax.profiler.start_trace(args.profile)
+            tracing = True
         batch = next(gen)
         x = batch[0] if isinstance(batch, (tuple, list)) else batch
         x = shard_batch(np.asarray(x, np.float32), mesh)
         rng = jax.random.fold_in(root_rng, step)
         state, metrics = train_step(state, x, rng)
         timer.tick()
-        if args.profile and step == 15:
+        if tracing and step - run_start_step == 15:
             jax.block_until_ready(metrics["loss"])
             jax.profiler.stop_trace()
+            tracing = False
             logger.info(f"Wrote profiler trace to {args.profile}")
         # buffer device scalars; fetching every step would serialise on host
         # round-trips (the metrics sync is deferred to print_freq boundaries)
@@ -204,6 +209,9 @@ def main():
         step -= 1
         save_ckpt()
     tracker.close()
+    if tracing:  # n_steps ended inside the profiling window — flush the trace
+        jax.profiler.stop_trace()
+        logger.info(f"Wrote profiler trace to {args.profile}")
     logger.info("End of training")
 
 

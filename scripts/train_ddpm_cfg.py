@@ -146,8 +146,9 @@ def main():
         npc = conf.train.n_samples_each_class
         n_show = min(10, num_classes)
         y = jnp.repeat(jnp.arange(n_show), npc)
-        noise = jax.random.normal(key, (n_show * npc, img_size, img_size, img_ch))
-        out = np.clip(np.asarray(sample_fn(p, noise, key, y)), -1, 1)
+        k_noise, k_samp = jax.random.split(key)
+        noise = jax.random.normal(k_noise, (n_show * npc, img_size, img_size, img_ch))
+        out = np.clip(np.asarray(sample_fn(p, noise, k_samp, y)), -1, 1)
         if is_main:
             save_image_grid(out, savepath, nrow=npc)
 

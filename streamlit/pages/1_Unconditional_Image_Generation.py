@@ -47,17 +47,29 @@ seed = st.number_input("Seed", value=0)
 
 if st.button("Sample"):
     conf, model, params, shape = load_model()
-    dp = dict(conf.diffusion.get("params", {}))
-    dp.pop("device", None)
-    dp.update(respace_type="uniform", respace_steps=steps, var_type=var_type)
-    diffuser = SAMPLERS[sampler](**dp)
+    # Streamlit re-executes this script per interaction: cache the jitted
+    # sampler in session_state (keyed by its settings) so identical clicks
+    # reuse the compiled executable instead of retracing the whole scan.
+    cache = st.session_state.setdefault("_samplers", {})
+    cache_key = (sampler, steps, var_type)
+    if cache_key not in cache:
+        dp = dict(conf.diffusion.get("params", {}))
+        dp.pop("device", None)
+        dp.update(respace_type="uniform", respace_steps=steps, var_type=var_type)
+        diffuser = SAMPLERS[sampler](**dp)
 
-    @jax.jit
-    def fn(p, noise, k):
-        return diffuser.sample(lambda x, t, **kw: model.apply(p, x, t), noise, k)
+        @jax.jit
+        def fn(p, noise, k):
+            return diffuser.sample(lambda x, t, **kw: model.apply(p, x, t), noise, k)
+
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = fn
+    fn = cache[cache_key]
 
     t0 = time.time()
-    k = jax.random.PRNGKey(int(seed))
-    out = np.clip(np.asarray(fn(params, jax.random.normal(k, (n,) + shape), k)), -1, 1)
+    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
+    out = np.clip(np.asarray(
+        fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp)), -1, 1)
     st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)
     st.caption(f"{n} samples in {time.time() - t0:.2f}s on {jax.devices()[0].device_kind}")

@@ -49,19 +49,30 @@ seed = st.number_input("Seed", value=0)
 if st.button("Sample"):
     conf, model, params, shape = load_model()
     nc = conf.data.num_classes
-    dp = dict(conf.diffusion.get("params", {}))
-    dp.pop("device", None)
-    dp.update(respace_type="uniform", respace_steps=steps, guidance_scale=scale)
-    diffuser = (DDIMCFG if sampler == "ddim" else DDPMCFG)(**dp)
+    # cache the compiled sampler across Streamlit reruns (script re-executes
+    # per interaction; a fresh jit object would retrace the whole scan)
+    cache = st.session_state.setdefault("_cfg_samplers", {})
+    cache_key = (sampler, steps, scale)
+    if cache_key not in cache:
+        dp = dict(conf.diffusion.get("params", {}))
+        dp.pop("device", None)
+        dp.update(respace_type="uniform", respace_steps=steps, guidance_scale=scale)
+        diffuser = (DDIMCFG if sampler == "ddim" else DDPMCFG)(**dp)
 
-    @jax.jit
-    def fn(p, noise, k, y):
-        return diffuser.sample(
-            lambda x, t, y=None, **kw: model.apply(p, x, t, y), noise, k,
-            uncond_conditioning=jnp.full((noise.shape[0],), nc, jnp.int32),
-            model_kwargs=dict(y=y))
+        @jax.jit
+        def fn(p, noise, k, y):
+            return diffuser.sample(
+                lambda x, t, y=None, **kw: model.apply(p, x, t, y), noise, k,
+                uncond_conditioning=jnp.full((noise.shape[0],), nc, jnp.int32),
+                model_kwargs=dict(y=y))
 
-    k = jax.random.PRNGKey(int(seed))
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = fn
+    fn = cache[cache_key]
+
+    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
     y = jnp.full((n,), int(cls), jnp.int32)
-    out = np.clip(np.asarray(fn(params, jax.random.normal(k, (n,) + shape), k, y)), -1, 1)
+    out = np.clip(np.asarray(
+        fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp, y)), -1, 1)
     st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)

@@ -54,17 +54,29 @@ if st.button("Generate"):
     dp.pop("device", None)
     dp.update(respace_type="uniform", respace_steps=steps,
               guidance_scale=scale, cond_kwarg="text_embed")
-    diffuser = DDIMCFG(**dp)
     text_embed = sd.text_encoder_encode(params, [prompt])
     neg_embed = sd.text_encoder_encode(params, [negative])
 
-    @jax.jit
-    def fn(noise, k, ce, ue):
-        return diffuser.sample(sd.make_model_fn(params), noise, k,
-                               uncond_conditioning=ue,
-                               model_kwargs=dict(text_embed=ce))
+    # cache the compiled sampler across Streamlit reruns (script re-executes
+    # per interaction; a fresh jit object would retrace the whole scan)
+    cache = st.session_state.setdefault("_sd_samplers", {})
+    cache_key = (steps, scale, size)
+    if cache_key not in cache:
+        diffuser = DDIMCFG(**dp)
 
-    k = jax.random.PRNGKey(int(seed))
-    z = fn(jax.random.normal(k, (1, size // 8, size // 8, 4)), k, text_embed, neg_embed)
+        @jax.jit
+        def fn(noise, k, ce, ue):
+            return diffuser.sample(sd.make_model_fn(params), noise, k,
+                                   uncond_conditioning=ue,
+                                   model_kwargs=dict(text_embed=ce))
+
+        if len(cache) >= 8:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = fn
+    fn = cache[cache_key]
+
+    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
+    z = fn(jax.random.normal(k_noise, (1, size // 8, size // 8, 4)), k_samp,
+           text_embed, neg_embed)
     img = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
     st.image(to_pil(img[0]), width=size)

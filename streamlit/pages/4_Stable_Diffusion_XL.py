@@ -83,17 +83,25 @@ if st.button("Generate"):
                                tokenize(tok_g, [negative] * batch_size),
                                force_zero_text=(negative == ""), **sizes)
 
-    @jax.jit
-    def fn(noise, k, c, uc):
-        return diffuser.sample(model.make_model_fn(params), noise, k,
-                               uncond_conditioning=uc, model_kwargs=dict(cond=c))
+    cache = st.session_state.setdefault("_sdxl_samplers", {})
+    cache_key = (steps, scale, height, width, batch_size)
+    if cache_key not in cache:
+        @jax.jit
+        def fn(noise, k, c, uc):
+            return diffuser.sample(model.make_model_fn(params), noise, k,
+                                   uncond_conditioning=uc, model_kwargs=dict(cond=c))
 
-    k = jax.random.PRNGKey(int(seed))
-    noise = jax.random.normal(k, (batch_size, height // 8, width // 8, 4))
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        cache[cache_key] = fn
+    fn = cache[cache_key]
+
+    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
+    noise = jax.random.normal(k_noise, (batch_size, height // 8, width // 8, 4))
     if offset_noise > 0:
         noise = noise + offset_noise * jax.random.normal(
-            jax.random.fold_in(k, 1), (batch_size, 1, 1, 1))
-    z = fn(noise, k, cond, uncond)
+            jax.random.fold_in(k_noise, 1), (batch_size, 1, 1, 1))
+    z = fn(noise, k_samp, cond, uncond)
     imgs = np.clip(np.asarray(model.decode_latent(params, z)), -1, 1)
     for b in range(batch_size):
         st.image(to_pil(imgs[b]), width=width)

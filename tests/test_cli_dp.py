@@ -81,9 +81,10 @@ def test_sample_uncond_dp_matches_single_device(tiny_setup, tmp_path, monkeypatc
     with jax.default_device(CPU):
         outs = []
         for i, bs in enumerate(amortize(10, 6)):
-            k = jax.random.fold_in(rng, i)
-            noise = jax.random.normal(k, (bs, 16, 16, 3))
-            out = diffuser.sample(lambda x, t, **kw: model.apply(params, x, t), noise, k)
+            # mirrors the CLI: independent keys for noise and reverse process
+            k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
+            noise = jax.random.normal(k_noise, (bs, 16, 16, 3))
+            out = diffuser.sample(lambda x, t, **kw: model.apply(params, x, t), noise, k_samp)
             outs.append(np.clip(np.asarray(out), -1, 1))
         expected = np.concatenate(outs)
 

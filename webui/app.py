@@ -81,7 +81,12 @@ class App:
         self.params = load_model_params(weights, self.model, margs)
         self.shape = shape[1:]
         self.lock = threading.Lock()
+        # bounded FIFO of compiled samplers: each distinct (sampler, steps,
+        # var_type, cond, gs) combination bakes a new jitted reverse scan —
+        # unbounded retention would leak an executable per guidance scale a
+        # user ever tries
         self._cache = {}
+        self._cache_max = 8
 
     def sample(self, sampler: str, steps: int, var_type: str, n: int, seed: int,
                y: int, gs: float) -> np.ndarray:
@@ -111,11 +116,13 @@ class App:
                         p, x, t, jnp.full((x.shape[0],), null, jnp.int32))) \
                         if self.cond else (lambda x, t, **kw: self.model.apply(p, x, t))
                     return diffuser.sample(margs, noise, k)
+            if len(self._cache) >= self._cache_max:
+                self._cache.pop(next(iter(self._cache)))
             self._cache[key] = jax.jit(fn)
-        k = jax.random.PRNGKey(seed)
-        noise = jax.random.normal(k, (n,) + self.shape)
+        k_noise, k_samp = jax.random.split(jax.random.PRNGKey(seed))
+        noise = jax.random.normal(k_noise, (n,) + self.shape)
         yy = jnp.full((n,), max(y, 0), jnp.int32)
-        return np.clip(np.asarray(self._cache[key](self.params, noise, k, yy)), -1, 1)
+        return np.clip(np.asarray(self._cache[key](self.params, noise, k_samp, yy)), -1, 1)
 
 
 def make_handler(app: App):
