@@ -64,9 +64,11 @@ if st.button("Generate"):
     if cache_key not in cache:
         diffuser = DDIMCFG(**dp)
 
+        # params as a jit ARGUMENT: closing over the weight tree embeds
+        # GBs of constants into the lowering
         @jax.jit
-        def fn(noise, k, ce, ue):
-            return diffuser.sample(sd.make_model_fn(params), noise, k,
+        def fn(p, noise, k, ce, ue):
+            return diffuser.sample(sd.make_model_fn(p), noise, k,
                                    uncond_conditioning=ue,
                                    model_kwargs=dict(text_embed=ce))
 
@@ -76,7 +78,7 @@ if st.button("Generate"):
     fn = cache[cache_key]
 
     k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
-    z = fn(jax.random.normal(k_noise, (1, size // 8, size // 8, 4)), k_samp,
-           text_embed, neg_embed)
+    z = fn(params, jax.random.normal(k_noise, (1, size // 8, size // 8, 4)),
+           k_samp, text_embed, neg_embed)
     img = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
     st.image(to_pil(img[0]), width=size)

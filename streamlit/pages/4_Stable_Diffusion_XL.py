@@ -86,9 +86,11 @@ if st.button("Generate"):
     cache = st.session_state.setdefault("_sdxl_samplers", {})
     cache_key = (steps, scale, height, width, batch_size)
     if cache_key not in cache:
+        # params as a jit ARGUMENT: closing over the weight tree embeds
+        # GBs of constants into the lowering
         @jax.jit
-        def fn(noise, k, c, uc):
-            return diffuser.sample(model.make_model_fn(params), noise, k,
+        def fn(p, noise, k, c, uc):
+            return diffuser.sample(model.make_model_fn(p), noise, k,
                                    uncond_conditioning=uc, model_kwargs=dict(cond=c))
 
         if len(cache) >= 4:
@@ -101,7 +103,7 @@ if st.button("Generate"):
     if offset_noise > 0:
         noise = noise + offset_noise * jax.random.normal(
             jax.random.fold_in(k_noise, 1), (batch_size, 1, 1, 1))
-    z = fn(noise, k_samp, cond, uncond)
+    z = fn(params, noise, k_samp, cond, uncond)
     imgs = np.clip(np.asarray(model.decode_latent(params, z)), -1, 1)
     for b in range(batch_size):
         st.image(to_pil(imgs[b]), width=width)
