@@ -22,8 +22,14 @@ def _resolve_lr(lr):
 
 def lr_fn(optim_conf):
     """step -> actual learning rate, for logging.  Mirrors ``_resolve_lr`` so
-    logged LR always tracks what the optimizer applies (schedules included)."""
-    lr = _resolve_lr(dict(optim_conf.get("params", {})).get("lr", 1e-3))
+    logged LR always tracks what the optimizer applies (schedules included).
+    Unknown layouts (e.g. a raw optax target with its own param names) log
+    NaN rather than a plausible-looking wrong constant."""
+    params = dict(optim_conf.get("params", {}))
+    lr = params.get("lr", params.get("learning_rate"))
+    if lr is None:
+        return lambda step: float("nan")
+    lr = _resolve_lr(lr)
     if callable(lr):
         return lambda step: float(lr(step))
     return lambda step: float(lr)

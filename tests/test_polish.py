@@ -84,3 +84,15 @@ def test_resample_tape_scrubs_only_renoise_rows():
         assert np.isfinite(np.asarray(v, np.float64)).all(), k
     denoise = tape["is_denoise"].astype(bool)
     assert denoise.any() and (~denoise).any()  # both row kinds exercised
+
+
+def test_lr_fn_layouts():
+    """lr_fn honours lr / learning_rate and reports NaN (not a plausible
+    default) for unknown optimizer-config layouts."""
+    import math
+
+    from dmtpu.utils.optim import lr_fn
+
+    assert lr_fn({"params": {"lr": 2e-4}})(0) == 2e-4
+    assert lr_fn({"params": {"learning_rate": 3e-4}})(0) == 3e-4
+    assert math.isnan(lr_fn({"params": {"alpha": 0.1}})(0))
