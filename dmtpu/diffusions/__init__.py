@@ -8,6 +8,7 @@ from dmtpu.diffusions.ddim import DDIM, DDIMCFG
 from dmtpu.diffusions.ddpm_ip import DDPM_IP
 from dmtpu.diffusions.euler import EulerSampler
 from dmtpu.diffusions.heun import HeunSampler
+from dmtpu.diffusions.dpm_solver import DPMSolverPP
 
 __all__ = [
     "get_beta_schedule",
@@ -19,4 +20,5 @@ __all__ = [
     "DDPM_IP",
     "EulerSampler",
     "HeunSampler",
+    "DPMSolverPP",
 ]

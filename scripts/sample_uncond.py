@@ -24,7 +24,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from dmtpu.data import ImageDir  # noqa: E402
-from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler  # noqa: E402
+from dmtpu.diffusions import DDIM, DDPM, DPMSolverPP, EulerSampler, HeunSampler  # noqa: E402
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
@@ -42,6 +42,8 @@ COMPATIBLE_SAMPLER_MODE = dict(
     ddim=["sample", "denoise", "progressive", "interpolate", "reconstruction"],
     euler=["sample", "denoise", "progressive", "interpolate"],
     heun=["sample", "denoise", "progressive", "interpolate"],
+    # beyond parity: DPM-Solver++(2M) (no reference counterpart)
+    dpmpp=["sample", "denoise", "progressive", "interpolate"],
 )
 
 
@@ -67,7 +69,8 @@ def build_diffuser(args, conf):
         extra["var_type"] = args.var_type
     if args.sampler == "ddim":
         extra["eta"] = args.ddim_eta
-    cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}[args.sampler]
+    cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
+           "dpmpp": DPMSolverPP}[args.sampler]
     return cls(**diffusion_params(args, conf, **extra))
 
 

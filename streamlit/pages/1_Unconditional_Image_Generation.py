@@ -15,13 +15,14 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler
+from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler, DPMSolverPP
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import make_grid, to_pil
 
 CONFIG = os.environ.get("DMTPU_CONFIG", "configs/ddpm_cifar10.yaml")
 WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
-SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}
+SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
+            "dpmpp": DPMSolverPP}
 
 
 @st.cache_resource

@@ -302,3 +302,80 @@ def test_ddimcfg_cooperative_init():
     assert sam.eta == 0.5
     assert sam.guidance_scale == 3.0
     assert sam.var_type == DDIM(total_steps=100).var_type
+
+
+def test_dpmsolverpp_matches_independent_numpy_oracle(x_init):
+    """DPM-Solver++(2M) scan vs a from-the-paper numpy implementation
+    (arXiv:2211.01095, data-prediction multistep) on a linear model."""
+    from dmtpu.diffusions import DPMSolverPP
+
+    T, S = 100, 12
+    a = 0.05  # model: eps_hat(x, t) = a * x  (linear, deterministic)
+    sam = DPMSolverPP(total_steps=T, beta_schedule="linear",
+                      respace_type="uniform", respace_steps=S, clip_denoised=False)
+    got = np.asarray(sam.sample(lambda x, t, **kw: a * x, x_init,
+                                jax.random.PRNGKey(0)))
+
+    # --- independent oracle: float64 numpy, formulas straight from the paper
+    abar = np.asarray(sam.alphas_cumprod, np.float64)  # schedule itself is
+    # oracle-tested elsewhere
+    seq = list(np.asarray(sam.respaced_seq))           # t ascending
+    steps = seq[::-1]                                  # sampling order
+    prevs = ([-1] + seq[:-1])[::-1]
+
+    def lam(t):
+        return np.inf if t < 0 else 0.5 * (np.log(abar[t]) - np.log(1 - abar[t]))
+
+    x = np.asarray(x_init, np.float64)
+    prev_x0, prev_h = None, None
+    for t, tp in zip(steps, prevs):
+        al, sg = np.sqrt(abar[t]), np.sqrt(1 - abar[t])
+        alp = 1.0 if tp < 0 else np.sqrt(abar[tp])
+        sgp = 0.0 if tp < 0 else np.sqrt(1 - abar[tp])
+        x0 = (x - sg * (a * x)) / al                   # data prediction
+        h = lam(tp) - lam(t)
+        if prev_x0 is None or not np.isfinite(h):
+            d = x0                                     # first / final: 1st order
+        else:
+            r = prev_h / h
+            d = (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * prev_x0
+        x = (sgp / sg) * x + alp * (1 - (0.0 if not np.isfinite(h) else np.exp(-h))) * d
+        prev_x0, prev_h = x0, h
+
+    np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
+
+
+def test_dpmsolverpp_converges_at_higher_order_than_ddim(x_init):
+    """DDIM eta=0 IS the 1st-order data-prediction exponential integrator
+    (DPM-Solver++(1)); the 2M variant must show higher-ORDER convergence:
+    refining 10 -> 40 steps shrinks its error by a larger factor, and at 40
+    steps it must be the more accurate of the two."""
+    from dmtpu.diffusions import DDIM, DPMSolverPP
+
+    # exact denoiser for data ~ N(0, s^2 I): eps*(x, t) = x sigma_t/(abar_t s^2
+    # + sigma_t^2) — the probability-flow trajectory is smooth in lambda, the
+    # regime multistep solvers exploit
+    common = dict(total_steps=400, beta_schedule="linear", clip_denoised=False)
+    abar = jnp.asarray(DDIM(**common).alphas_cumprod, jnp.float32)
+    s2 = 0.25
+
+    def model(x, t, **kw):
+        ab = jnp.take(abar, t).reshape((-1,) + (1,) * (x.ndim - 1))
+        return x * jnp.sqrt(1 - ab) / (ab * s2 + (1 - ab))
+
+    # identical integration range: every sampler runs 399 -> 0 (an explicit
+    # respaced_seq avoids 'uniform' spacing moving the start point)
+    ref = np.asarray(DDIM(respace_type="none", eta=0.0, **common).sample(
+        model, x_init, jax.random.PRNGKey(0)))  # 400-step dense DDIM = ODE truth
+
+    def err(cls, S, **kw):
+        seq = np.linspace(0, 399, S).round().astype(np.int64)
+        out = np.asarray(cls(respaced_seq=seq, **kw, **common).sample(
+            model, x_init, jax.random.PRNGKey(0)))
+        return np.abs(out - ref).mean()
+
+    e_ddim10, e_ddim40 = err(DDIM, 10, eta=0.0), err(DDIM, 40, eta=0.0)
+    e_dpm10, e_dpm40 = err(DPMSolverPP, 10), err(DPMSolverPP, 40)
+    assert e_dpm40 < e_ddim40, (e_dpm40, e_ddim40)
+    assert e_dpm10 / e_dpm40 > e_ddim10 / e_ddim40, (
+        e_dpm10, e_dpm40, e_ddim10, e_ddim40)

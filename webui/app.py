@@ -34,11 +34,12 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from dmtpu.diffusions import DDIM, DDPM, DDIMCFG, DDPMCFG, EulerSampler, HeunSampler  # noqa: E402
+from dmtpu.diffusions import DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, EulerSampler, HeunSampler  # noqa: E402
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.image import make_grid, to_pil  # noqa: E402
 
-SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler}
+SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
+            "dpmpp": DPMSolverPP}
 
 PAGE = """<!doctype html>
 <html><head><title>dmtpu sampler</title><style>
@@ -49,7 +50,7 @@ img{{image-rendering:pixelated;border:1px solid #ccc;margin-top:1em}}
 <h2>dmtpu — TPU-native diffusion sampler</h2>
 <form action="/sample" method="get">
 <p><label>Sampler</label><select name="sampler">
-<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option>
+<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option>
 </select></p>
 <p><label>Steps</label><input name="steps" type="number" value="50"></p>
 <p><label>Variance</label><select name="var_type">
