@@ -8,7 +8,7 @@ from dmtpu.diffusions.ddim import DDIM, DDIMCFG
 from dmtpu.diffusions.ddpm_ip import DDPM_IP
 from dmtpu.diffusions.euler import EulerSampler
 from dmtpu.diffusions.heun import HeunSampler
-from dmtpu.diffusions.dpm_solver import DPMSolverPP
+from dmtpu.diffusions.dpm_solver import DPMSolverPP, DPMSolverPPCFG
 
 __all__ = [
     "get_beta_schedule",
@@ -21,4 +21,5 @@ __all__ = [
     "EulerSampler",
     "HeunSampler",
     "DPMSolverPP",
+    "DPMSolverPPCFG",
 ]

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dmtpu.diffusions.ddpm import DDPM, Array, ModelFn
+from dmtpu.diffusions.ddpm import DDPM, DDPMCFG, Array, ModelFn
 
 
 class DPMSolverPP(DDPM):
@@ -68,6 +68,12 @@ class DPMSolverPP(DDPM):
         tape["dpm_c2"] = c2.astype(np.float32)
         return tape
 
+    def _x0_step(self, model_fn, x, c, model_kwargs) -> Array:
+        """One model call -> pred_x0 (the quantity the solver integrates)."""
+        t_batch = jnp.full((x.shape[0],), c["t"], dtype=jnp.int32)
+        out = model_fn(x, t_batch, **model_kwargs)
+        return self.predict(out, x, c)["pred_x0"]
+
     def sample_loop(
         self,
         model_fn: ModelFn,
@@ -91,9 +97,7 @@ class DPMSolverPP(DDPM):
 
         def body(carry, c):
             x, prev_x0 = carry
-            t_batch = jnp.full((x.shape[0],), c["t"], dtype=jnp.int32)
-            out = model_fn(x, t_batch, **model_kwargs)
-            x0 = self.predict(out, x, c)["pred_x0"]
+            x0 = self._x0_step(model_fn, x, c, model_kwargs)
             d = c["dpm_c1"] * x0 + c["dpm_c2"] * prev_x0
             x_next = c["dpm_sigma_ratio"] * x + c["dpm_alpha_e"] * d
             outs = {
@@ -113,4 +117,44 @@ class DPMSolverPP(DDPM):
 
     def sample(self, model_fn, init_noise, rng, model_kwargs=None, **kwargs) -> Array:
         final, _ = self.sample_loop(model_fn, init_noise, rng, model_kwargs, **kwargs)
+        return final
+
+
+class DPMSolverPPCFG(DPMSolverPP, DDPMCFG):
+    """DPM-Solver++(2M) with classifier-free guidance (beyond parity).
+
+    The production text-to-image serving combination: ~20 NFE CFG sampling.
+    Inherits the single batched cond+uncond model call from ``DDPMCFG``
+    (guidance combined on eps, the standard CFG quantity) and converts the
+    guided eps to the x0 the solver integrates.
+    """
+
+    def _x0_step(self, model_fn, x, c, model_kwargs) -> Array:
+        pred_eps, _ = self._cfg_model_output(model_fn, x, c, model_kwargs)
+        return self.predict(pred_eps, x, c, objective="pred_eps")["pred_x0"]
+
+    def sample_loop(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        uncond_conditioning: Any = None,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ):
+        self._uncond_conditioning = uncond_conditioning
+        return DPMSolverPP.sample_loop(self, model_fn, init_noise, rng,
+                                       model_kwargs, **kwargs)
+
+    def sample(
+        self,
+        model_fn: ModelFn,
+        init_noise: Array,
+        rng: Array,
+        uncond_conditioning: Any = None,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+        **kwargs: Any,
+    ) -> Array:
+        final, _ = self.sample_loop(
+            model_fn, init_noise, rng, uncond_conditioning, model_kwargs, **kwargs)
         return final

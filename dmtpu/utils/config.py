@@ -93,6 +93,7 @@ _REGISTRY: Dict[str, str] = {
     "diffusions.heun.HeunSampler": "dmtpu.diffusions.heun.HeunSampler",
     # beyond-parity: DPM-Solver++(2M) has no reference counterpart
     "diffusions.dpm_solver.DPMSolverPP": "dmtpu.diffusions.dpm_solver.DPMSolverPP",
+    "diffusions.dpm_solver.DPMSolverPPCFG": "dmtpu.diffusions.dpm_solver.DPMSolverPPCFG",
     "diffusions.guidance.base.BaseGuidance": "dmtpu.diffusions.guidance.base.BaseGuidance",
     "diffusions.guidance.mask_guidance.MaskGuidance": "dmtpu.diffusions.guidance.mask_guidance.MaskGuidance",
     "diffusions.guidance.ilvr.ILVR": "dmtpu.diffusions.guidance.ilvr.ILVR",

@@ -379,3 +379,28 @@ def test_dpmsolverpp_converges_at_higher_order_than_ddim(x_init):
     assert e_dpm40 < e_ddim40, (e_dpm40, e_ddim40)
     assert e_dpm10 / e_dpm40 > e_ddim10 / e_ddim40, (
         e_dpm10, e_dpm40, e_ddim10, e_ddim40)
+
+
+def test_dpmsolverpp_cfg_guidance_scale_identities(x_init):
+    """DPMSolverPPCFG at s=1 == plain DPMSolverPP on the conditional branch;
+    at s=0 == the unconditional branch (the CFG combination identities)."""
+    from dmtpu.diffusions import DPMSolverPP, DPMSolverPPCFG
+
+    common = dict(total_steps=50, respace_type="uniform", respace_steps=8)
+    b = x_init.shape[0]
+
+    def model(x, t, y=None, **kw):
+        shift = (0.0 if y is None else 0.03 * y.astype(jnp.float32))
+        return 0.05 * x + shift.reshape((-1,) + (1,) * (x.ndim - 1))
+
+    y_c = jnp.full((b,), 2, jnp.int32)
+    y_u = jnp.full((b,), 9, jnp.int32)
+    for s, y_expect in [(1.0, y_c), (0.0, y_u)]:
+        got = DPMSolverPPCFG(guidance_scale=s, **common).sample(
+            model, x_init, jax.random.PRNGKey(0),
+            uncond_conditioning=y_u, model_kwargs={"y": y_c})
+        want = DPMSolverPP(**common).sample(
+            lambda x, t, **kw: model(x, t, y=y_expect), x_init,
+            jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
