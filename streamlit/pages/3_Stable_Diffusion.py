@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from dmtpu.convert import load_torch_weights
-from dmtpu.diffusions import DDIMCFG
+from dmtpu.diffusions import DDIMCFG, DPMSolverPPCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import make_grid, to_pil
 
@@ -43,6 +43,7 @@ def load_sd():
 st.title("Stable Diffusion")
 prompt = st.text_area("Prompt", "a photograph of an astronaut riding a horse")
 negative = st.text_area("Negative prompt", "")
+sampler = st.selectbox("Sampler", ["ddim", "dpmpp"])
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 7.5)
 size = st.selectbox("Size", [512, 576, 640, 768], index=0)
@@ -60,9 +61,10 @@ if st.button("Generate"):
     # cache the compiled sampler across Streamlit reruns (script re-executes
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_sd_samplers", {})
-    cache_key = (steps, scale, size)
+    cache_key = (sampler, steps, scale, size)
     if cache_key not in cache:
-        diffuser = DDIMCFG(**dp)
+        cls = DPMSolverPPCFG if sampler == "dpmpp" else DDIMCFG
+        diffuser = cls(**dp)
 
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering
