@@ -55,12 +55,16 @@ class DPMSolverPP(DDPM):
         n = len(seq)
         c1 = np.ones(n)
         c2 = np.zeros(n)
-        for i in range(1, n):
-            if not np.isfinite(h[i]):              # final step to t=-1: 1st order
-                continue
-            r = h[i - 1] / h[i]
-            c1[i] = 1.0 + 1.0 / (2.0 * r)
-            c2[i] = -1.0 / (2.0 * r)
+        prev_h = None  # last usable step width (quad respacing yields
+        # duplicate adjacent timesteps -> h=0 no-op rows that must not feed r)
+        for i in range(n):
+            if h[i] == 0.0 or not np.isfinite(h[i]):
+                continue  # no-op row / final step to t=-1: keep 1st order
+            if prev_h is not None:
+                r = prev_h / h[i]
+                c1[i] = 1.0 + 1.0 / (2.0 * r)
+                c2[i] = -1.0 / (2.0 * r)
+            prev_h = h[i]
 
         tape["dpm_sigma_ratio"] = sigma_ratio.astype(np.float32)
         tape["dpm_alpha_e"] = alpha_e.astype(np.float32)

@@ -28,6 +28,11 @@ def lr_fn(optim_conf):
     params = dict(optim_conf.get("params", {}))
     lr = params.get("lr", params.get("learning_rate"))
     if lr is None:
+        # the repo's own factories (and their torch.optim registry aliases)
+        # apply a documented default lr=1e-3 when the key is omitted
+        target = str(optim_conf.get("target", ""))
+        if any(t in target for t in ("torch.optim.", "utils.optim.")):
+            return lambda step: 1e-3
         return lambda step: float("nan")
     lr = _resolve_lr(lr)
     if callable(lr):

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from dmtpu.convert import load_torch_weights
-from dmtpu.diffusions import DDIMCFG, DDPMCFG
+from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import to_pil
 
@@ -52,7 +52,7 @@ def tokenize(tok, texts):
 st.title("Stable Diffusion XL")
 prompt = st.text_area("Prompt", "a professional photograph of an astronaut riding a horse")
 negative = st.text_area("Negative prompt", "")
-sampler = st.selectbox("Sampler", ["DDIM", "DDPM"], index=0)
+sampler = st.selectbox("Sampler", ["DDIM", "DPM-Solver++", "DDPM"], index=0)
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 5.0)
 height = st.selectbox("Height", [1024, 896, 768], index=0)
@@ -67,7 +67,8 @@ if st.button("Generate"):
     dp.pop("device", None)
     dp.update(respace_type="uniform", respace_steps=steps,
               guidance_scale=scale, cond_kwarg="cond")
-    diffuser = (DDIMCFG if sampler == "DDIM" else DDPMCFG)(**dp)
+    diffuser = {"DDIM": DDIMCFG, "DPM-Solver++": DPMSolverPPCFG,
+                "DDPM": DDPMCFG}[sampler](**dp)
 
     # conditioner cond/uncond dicts (reference page :84-88)
     sizes = dict(
@@ -84,7 +85,7 @@ if st.button("Generate"):
                                force_zero_text=(negative == ""), **sizes)
 
     cache = st.session_state.setdefault("_sdxl_samplers", {})
-    cache_key = (steps, scale, height, width, batch_size)
+    cache_key = (sampler, steps, scale, height, width, batch_size)
     if cache_key not in cache:
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering

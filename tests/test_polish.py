@@ -95,4 +95,8 @@ def test_lr_fn_layouts():
 
     assert lr_fn({"params": {"lr": 2e-4}})(0) == 2e-4
     assert lr_fn({"params": {"learning_rate": 3e-4}})(0) == 3e-4
-    assert math.isnan(lr_fn({"params": {"alpha": 0.1}})(0))
+    # known factories default to 1e-3 when lr is omitted
+    assert lr_fn({"target": "torch.optim.Adam", "params": {"weight_decay": 0.01}})(0) == 1e-3
+    assert lr_fn({"target": "utils.optim.adamw", "params": {}})(0) == 1e-3
+    # unknown layout: NaN, not a plausible-looking constant
+    assert math.isnan(lr_fn({"target": "optax.adam", "params": {"alpha": 0.1}})(0))

@@ -404,3 +404,15 @@ def test_dpmsolverpp_cfg_guidance_scale_identities(x_init):
             jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_dpmsolverpp_quad_respacing_finite(x_init):
+    """Regression: quad respacing yields duplicate adjacent timesteps
+    (h = 0); the multistep weights must skip them, not divide by zero."""
+    from dmtpu.diffusions import DPMSolverPP
+
+    sam = DPMSolverPP(total_steps=1000, respace_type="quad", respace_steps=100)
+    tape = sam.sampler_tape()
+    assert np.all(np.isfinite(tape["dpm_c1"])) and np.all(np.isfinite(tape["dpm_c2"]))
+    out = sam.sample(lambda x, t, **kw: 0.05 * x, x_init, jax.random.PRNGKey(0))
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -34,7 +34,9 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from dmtpu.diffusions import DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, EulerSampler, HeunSampler  # noqa: E402
+from dmtpu.diffusions import (  # noqa: E402
+    DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, DPMSolverPPCFG, EulerSampler,
+    HeunSampler)
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.image import make_grid, to_pil  # noqa: E402
 
@@ -97,7 +99,7 @@ class App:
         key = (sampler, steps, var_type, y >= 0, gs)
         if key not in self._cache:
             if y >= 0 and self.cond:
-                cls = DDIMCFG if sampler == "ddim" else DDPMCFG
+                cls = {"ddim": DDIMCFG, "dpmpp": DPMSolverPPCFG}.get(sampler, DDPMCFG)
                 diffuser = cls(guidance_scale=gs, **dp)
 
                 def fn(p, noise, k, yy):
