@@ -106,3 +106,53 @@ def test_dp_sharding_accepts_string_default_device():
         assert mesh.devices.size == len(jax.devices("cpu"))
     finally:
         jax.config.update("jax_default_device", prev)
+
+
+def test_sample_cfg_latent_npz_branch(tmp_path, monkeypatch):
+    """sample_cfg's DiT/MDT latent branch: loads a convert_checkpoint-style
+    .npz params tree, reads weights through the jitted argument, samples
+    latents DP-sharded (dpmpp sampler), and skips VAE decode when absent."""
+    import jax.numpy as jnp
+
+    from dmtpu.models.latent import LatentDiffusionWrapper
+
+    conf = tmp_path / "latent.yaml"
+    conf.write_text("""
+data:
+  params: {img_size: 32}
+  img_channels: 3
+  num_classes: 5
+model:
+  target: models.dit.dit.DiT
+  params:
+    vit_config:
+      target: models.dit.model.DiT
+      params: {input_size: 4, patch_size: 2, in_channels: 4, hidden_size: 32,
+               depth: 2, num_heads: 4, num_classes: 5, learn_sigma: false}
+diffusion:
+  target: diffusions.ddpm.DDPM
+  params: {total_steps: 50, respace_type: uniform, respace_steps: 4}
+""")
+    from dmtpu.utils.config import instantiate_from_config, load_config
+
+    model = instantiate_from_config(load_config(str(conf)).model)
+    assert isinstance(model, LatentDiffusionWrapper)
+    with jax.default_device(CPU):
+        vit_params = model.vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 4)),
+                                    jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    wpath = tmp_path / "latent.npz"
+    np.savez(wpath, params=np.asarray(
+        jax.tree.map(lambda a: np.asarray(a), {"vit": vit_params, "vae": None}),
+        dtype=object))
+
+    save_dir = str(tmp_path / "out")
+    argv = ["sample_cfg.py", "-c", str(conf), "--weights", str(wpath),
+            "--save_dir", save_dir, "--batch_size", "4",
+            "--n_samples_each_class", "2", "--class_ids", "1",
+            "--guidance_scale", "2.0", "--sampler", "dpmpp"]
+    monkeypatch.setattr(sys, "argv", argv)
+    import sample_cfg
+
+    sample_cfg.main()
+    files = sorted(os.listdir(os.path.join(save_dir, "class1")))
+    assert files == ["0.png", "1.png"]
