@@ -120,9 +120,18 @@ def flash_mha(
     # Default BlockSizes serialise badly at LDM shapes (S=4096, d≤80:
     # 13.8ms → 2.0ms with 512/1024 blocks, measured on v5e).  Blocks must
     # divide the sequence (S=1536 with block_k=1024 is a trace-time error).
+    # Backward blocks MUST also be set: differentiating the kernel (training
+    # through flash attention) is a trace-time error without them.
     bq = _block(sq, min(512, sq))
     bk = _block(sk, min(1024, sk))
-    block_sizes = fa.BlockSizes(block_q=bq, block_k_major=bk, block_k=bk, block_b=1)
+    # backward blocks stay at 256: the dq/dkv kernels hold more operands per
+    # block, and 512/1024 backward tiles fail Mosaic compilation at LDM shapes
+    bqb = _block(sq, min(256, sq))
+    bkb = _block(sk, min(256, sk))
+    block_sizes = fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bqb, block_k_major_dkv=bkb, block_k_dkv=bkb,
+        block_q_dkv=bqb, block_k_major_dq=bkb, block_k_dq=bkb, block_q_dq=bqb)
 
     def _flash(q, k, v):
         # pallas kernel expects [B, H, S, D] and applies sm_scale to q.

@@ -142,3 +142,17 @@ def test_flash_gate_long_sequences_never_fall_back():
     assert _should_use_flash(16, 16384, 16384, 8, 40)     # must take flash
     assert _should_use_flash(4, 4096, 4096, 8, 40)        # few rows: flash
     assert not _should_use_flash(1, 512, 512, 8, 64)      # short: XLA
+
+
+def test_flash_mha_differentiable():
+    """Regression: training through flash attention requires the BACKWARD
+    block sizes too — jax.grad used to fail at trace time ('not all backward
+    blocks are specified')."""
+    from dmtpu.ops.attention import flash_mha
+
+    q = jnp.zeros((1, 2048, 4, 64), jnp.float32)
+
+    def loss(q):
+        return jnp.sum(flash_mha(q, q, q) ** 2)
+
+    jax.jit(jax.grad(loss)).lower(q)  # traces fwd+bwd on both platforms
