@@ -112,8 +112,6 @@ def test_sample_cfg_latent_npz_branch(tmp_path, monkeypatch):
     """sample_cfg's DiT/MDT latent branch: loads a convert_checkpoint-style
     .npz params tree, reads weights through the jitted argument, samples
     latents DP-sharded (dpmpp sampler), and skips VAE decode when absent."""
-    import jax.numpy as jnp
-
     from dmtpu.models.latent import LatentDiffusionWrapper
 
     conf = tmp_path / "latent.yaml"
