@@ -183,18 +183,27 @@ class CelebAHQ:
                             idx_to_orig[int(parts[0])] = int(
                                 os.path.splitext(parts[2])[0])
 
-            def keep(p):
+            def number_of(p):
                 name = os.path.splitext(os.path.basename(p))[0]
                 try:
-                    n = int(name)
+                    return int(name)
                 except ValueError:
                     raise ValueError(
                         f"CelebAHQ expects numeric filenames, got {name!r} "
                         "(original-CelebA numbers, or CelebAMask-HQ indices "
                         "with CelebA-HQ-to-CelebA-mapping.txt present)")
-                return lo <= idx_to_orig.get(n, n) < hi
 
-            paths = [p for p in paths if keep(p)]
+            nums = [number_of(p) for p in paths]
+            # Only translate when the filenames actually look like raw
+            # CelebAMask-HQ indices (all in 0..29999).  A pre-renamed
+            # original-CelebA layout that also carries the mapping file has
+            # numbers up to 202599 — translating its <30000 subset would
+            # silently scramble the splits.
+            use_mapping = bool(idx_to_orig) and nums and max(nums) < 30000
+            if not use_mapping:
+                idx_to_orig = {}
+            paths = [p for p, n in zip(paths, nums)
+                     if lo <= idx_to_orig.get(n, n) < hi]
             if not paths:
                 raise ValueError(
                     f"CelebAHQ split {split!r} matched 0 of the files under "

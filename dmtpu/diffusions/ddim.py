@@ -153,8 +153,9 @@ class DDIMCFG(DDIM, DDPMCFG):
         model_kwargs: Optional[Dict[str, Any]] = None,
         **kwargs: Any,
     ):
-        self._uncond_conditioning = uncond_conditioning
-        return DDIM.sample_inversion_loop(self, model_fn, img, model_kwargs, **kwargs)
+        mk = dict(model_kwargs or {})
+        mk[self._UNCOND_KEY] = uncond_conditioning
+        return DDIM.sample_inversion_loop(self, model_fn, img, mk, **kwargs)
 
     def sample_inversion(
         self,

@@ -396,13 +396,25 @@ class DDPMCFG(DDPM):
     two branches share all activation-memory traffic.  ``uncond_conditioning``
     must be an array pytree stackable with the conditional one (e.g. a null
     class index, or empty-prompt embeddings).
+
+    Other ``model_kwargs`` entries are carried onto the doubled batch by a
+    HEURISTIC: any array leaf whose leading dim equals the batch size ``B``
+    is treated as per-sample and tiled to ``2B``; everything else is passed
+    through unchanged.  A kwarg that merely *happens* to have ``shape[0]==B``
+    without being per-sample (e.g. a shared ``[B, B]`` bias table) would be
+    mis-tiled — pass such values with a leading length-1 axis, or close over
+    them in ``model_fn`` instead of routing them through ``model_kwargs``.
     """
+
+    #: reserved model_kwargs key used to thread the unconditional branch's
+    #: conditioning through the (stateless) base sample_loop — never passed
+    #: to the model.
+    _UNCOND_KEY = "__cfg_uncond_conditioning__"
 
     def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y", *args: Any, **kwargs: Any):
         super().__init__(*args, **kwargs)
         self.guidance_scale = float(guidance_scale)
         self.cond_kwarg = cond_kwarg
-        self._uncond_conditioning: Any = None
 
     def _cfg_model_output(
         self,
@@ -415,7 +427,7 @@ class DDPMCFG(DDPM):
         if self.cond_kwarg not in model_kwargs:
             raise ValueError(f"Condition argument `{self.cond_kwarg}` not found in model_kwargs.")
         cond = model_kwargs[self.cond_kwarg]
-        uncond = self._uncond_conditioning
+        uncond = model_kwargs.get(self._UNCOND_KEY)
         if uncond is None:
             raise ValueError(
                 "CFG sampling requires `uncond_conditioning` (a null class "
@@ -433,7 +445,8 @@ class DDPMCFG(DDPM):
                 lambda a: jnp.concatenate([a, a], axis=0)
                 if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b else a, v)
 
-        merged = {k: _double(v) for k, v in model_kwargs.items()}
+        merged = {k: _double(v) for k, v in model_kwargs.items()
+                  if k != self._UNCOND_KEY}
         merged[self.cond_kwarg] = jax.tree.map(
             lambda cc, uu: jnp.concatenate([cc, uu], axis=0), cond, uncond
         )
@@ -463,8 +476,12 @@ class DDPMCFG(DDPM):
         model_kwargs: Optional[Dict[str, Any]] = None,
         **kwargs: Any,
     ):
-        self._uncond_conditioning = uncond_conditioning
-        return super().sample_loop(model_fn, init_noise, rng, model_kwargs, **kwargs)
+        # thread the uncond branch through as DATA (reserved model_kwargs
+        # key) — no mutable sampler state, so interleaved sample calls on
+        # one diffuser instance cannot cross-contaminate
+        mk = dict(model_kwargs or {})
+        mk[self._UNCOND_KEY] = uncond_conditioning
+        return super().sample_loop(model_fn, init_noise, rng, mk, **kwargs)
 
     def sample(
         self,

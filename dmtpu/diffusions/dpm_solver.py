@@ -146,9 +146,10 @@ class DPMSolverPPCFG(DPMSolverPP, DDPMCFG):
         model_kwargs: Optional[Dict[str, Any]] = None,
         **kwargs: Any,
     ):
-        self._uncond_conditioning = uncond_conditioning
+        mk = dict(model_kwargs or {})
+        mk[self._UNCOND_KEY] = uncond_conditioning
         return DPMSolverPP.sample_loop(self, model_fn, init_noise, rng,
-                                       model_kwargs, **kwargs)
+                                       mk, **kwargs)
 
     def sample(
         self,

@@ -248,9 +248,10 @@ class InceptionFeatureExtractor:
         np = self._np
         # cache the last sweep by input identity: __call__ followed by
         # classify on the same array (the natural FID-then-IS pattern) must
-        # not run the network twice
-        cached_id, cached = getattr(self, "_sweep_cache", (None, None))
-        if cached_id == id(images_u8):
+        # not run the network twice.  The cache holds the array OBJECT (not
+        # its id) — keeping it alive makes id-reuse after GC impossible.
+        cached_arr, cached = getattr(self, "_sweep_cache", (None, None))
+        if cached_arr is images_u8:
             return cached
         feats, probs = [], []
         for i in range(0, len(images_u8), self.batch_size):
@@ -259,7 +260,7 @@ class InceptionFeatureExtractor:
             feats.append(np.asarray(f))
             probs.append(np.asarray(p))
         out = (np.concatenate(feats), np.concatenate(probs))
-        self._sweep_cache = (id(images_u8), out)
+        self._sweep_cache = (images_u8, out)
         return out
 
     def features_and_probs(self, images_u8):

@@ -278,6 +278,29 @@ def test_cfg_doubles_every_batched_model_kwarg(x_init):
     assert out.shape == x_init.shape
 
 
+def test_cfg_sampler_is_stateless(x_init):
+    """CFG conditioning travels as data through sample_loop, never as
+    instance state — interleaved sampling on ONE diffuser instance must not
+    cross-contaminate (round-2 verdict item: drop `_uncond_conditioning`)."""
+    sam = DDPMCFG(guidance_scale=2.0, total_steps=10)
+    x = jnp.asarray(nhwc(x_init))
+    b = x.shape[0]
+
+    def model(xt, t, y):
+        return 0.01 * xt + 0.001 * y.astype(jnp.float32)[:, None, None, None]
+
+    mk = {"y": jnp.zeros((b,), jnp.int32)}
+    ua = jnp.full((b,), 3, jnp.int32)
+    ub = jnp.full((b,), 7, jnp.int32)
+    ra = sam.sample(model, x, jax.random.PRNGKey(0), uncond_conditioning=ua, model_kwargs=mk)
+    rb = sam.sample(model, x, jax.random.PRNGKey(0), uncond_conditioning=ub, model_kwargs=mk)
+    ra2 = sam.sample(model, x, jax.random.PRNGKey(0), uncond_conditioning=ua, model_kwargs=mk)
+    assert not np.allclose(np.asarray(ra), np.asarray(rb))
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(ra2))
+    # no conditioning-shaped attribute may appear on the instance
+    assert not any("uncond" in k for k in vars(sam)), vars(sam).keys()
+
+
 def test_cfg_missing_uncond_raises_clearly(x_init):
     sam = DDPMCFG(guidance_scale=2.0, total_steps=10)
     with pytest.raises(ValueError, match="uncond_conditioning"):
