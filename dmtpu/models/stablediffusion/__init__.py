@@ -83,6 +83,28 @@ class StableDiffusion:
         self.params = convert_sd_checkpoint(self, state_dict, text_encoder_sd)
         return self.params
 
+    def init_params(self, rng: Array, img_size: int = 64) -> Dict:
+        """Random-init params in the same ``{"unet","vae","text_encoder"}``
+        layout ``load_state_dict`` produces — a checkpoint-free path for
+        demos and tests (the UIs fall back to this when no weights env var
+        is set).  Only CLIP-family text encoders (which own a Flax
+        ``model``) are supported; T5-based encoders load externally."""
+        if not hasattr(self.text_encoder, "model"):
+            raise ValueError("init_params supports CLIP-family text encoders only")
+        k_unet, k_vae, k_text = jax.random.split(rng, 3)
+        lat = img_size // 8
+        ctx_dim = self.unet.context_dim
+        max_len = getattr(self.text_encoder, "max_length", 77)
+        unet_p = self.unet.init(
+            k_unet, jnp.zeros((1, lat, lat, self.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, max_len, ctx_dim)))
+        vae_p = self.vae.init(k_vae, jnp.zeros((1, img_size, img_size, 3)),
+                              rng=jax.random.PRNGKey(0))
+        text_p = self.text_encoder.model.init(
+            k_text, jnp.ones((1, max_len), jnp.int32))
+        self.params = {"unet": unet_p, "vae": vae_p, "text_encoder": text_p}
+        return self.params
+
     # --- functional pieces (explicit params for jit closures) ----------
     def unet_forward(self, params: Dict, x: Array, timesteps: Array, context: Array) -> Array:
         return self.unet.apply(params["unet"], x, timesteps, context=context)

@@ -165,8 +165,10 @@ class FrozenCLIPEmbedder:
 
     def __init__(self, version: str = "clip-vit-l", max_length: int = 77,
                  layer: str = "last", layer_idx: Optional[int] = None,
-                 tokenizer: Any = None, **_: Any):
-        cfg = CLIP_TEXT_CONFIGS.get(version, CLIP_TEXT_CONFIGS["clip-vit-l"])
+                 tokenizer: Any = None,
+                 config_overrides: Optional[dict] = None, **_: Any):
+        cfg = dict(CLIP_TEXT_CONFIGS.get(version, CLIP_TEXT_CONFIGS["clip-vit-l"]))
+        cfg.update(config_overrides or {})  # tiny towers for tests/demo configs
         self.model = CLIPTextTransformer(max_length=max_length, **cfg)
         self.layer = layer
         self.layer_idx = layer_idx
@@ -196,8 +198,10 @@ class FrozenOpenCLIPEmbedder(FrozenCLIPEmbedder):
     """
 
     def __init__(self, arch: str = "open-clip-vit-h", max_length: int = 77,
-                 layer: str = "penultimate", tokenizer: Any = None, **_: Any):
-        cfg = CLIP_TEXT_CONFIGS[arch]
+                 layer: str = "penultimate", tokenizer: Any = None,
+                 config_overrides: Optional[dict] = None, **_: Any):
+        cfg = dict(CLIP_TEXT_CONFIGS[arch])
+        cfg.update(config_overrides or {})
         self.model = CLIPTextTransformer(max_length=max_length, **cfg)
         self.layer = layer
         self.layer_idx = None

@@ -1,7 +1,10 @@
-"""Stable Diffusion text-to-image page (parity: reference streamlit/pages/3_...py).
+"""Stable Diffusion text-to-image page (parity: reference streamlit/pages/3_...py,
+full widget surface incl. offset noise / batch size / batch count / H×W,
+reference :48-77).
 
 Set DMTPU_SD_CONFIG (a reference weight yaml), DMTPU_SD_WEIGHTS (.ckpt /
-.safetensors) and DMTPU_CLIP_TOKENIZER (local CLIPTokenizer path).
+.safetensors) and DMTPU_CLIP_TOKENIZER (local CLIPTokenizer path).  Without
+DMTPU_SD_WEIGHTS the page runs with random-init weights (demo mode).
 """
 import os
 import sys
@@ -21,7 +24,7 @@ import jax.numpy as jnp
 from dmtpu.convert import load_torch_weights
 from dmtpu.diffusions import DDIMCFG, DPMSolverPPCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
-from dmtpu.utils.image import make_grid, to_pil
+from dmtpu.utils.image import to_pil
 
 CONFIG = os.environ.get("DMTPU_SD_CONFIG", "weights/stablediffusion/v1-inference.yaml")
 WEIGHTS = os.environ.get("DMTPU_SD_WEIGHTS")
@@ -36,7 +39,11 @@ def load_sd():
         from transformers import CLIPTokenizer
 
         sd.text_encoder.tokenizer = CLIPTokenizer.from_pretrained(TOKENIZER)
-    params = sd.load_state_dict(load_torch_weights(WEIGHTS))
+    if WEIGHTS:
+        params = sd.load_state_dict(load_torch_weights(WEIGHTS))
+    else:
+        st.warning("DMTPU_SD_WEIGHTS not set — running with RANDOM weights (demo mode)")
+        params = sd.init_params(jax.random.PRNGKey(0))
     return conf, sd, params
 
 
@@ -46,7 +53,11 @@ negative = st.text_area("Negative prompt", "")
 sampler = st.selectbox("Sampler", ["ddim", "dpmpp"])
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 7.5)
-size = st.selectbox("Size", [512, 576, 640, 768], index=0)
+height = st.selectbox("Height", [512, 576, 640, 768], index=0)
+width = st.selectbox("Width", [512, 576, 640, 768], index=0)
+offset_noise = st.slider("Offset noise", 0.0, 0.2, 0.0)
+batch_size = st.slider("Batch size", 1, 8, 1)
+batch_count = st.slider("Batch count", 1, 8, 1)
 seed = st.number_input("Seed", value=0)
 
 if st.button("Generate"):
@@ -55,13 +66,13 @@ if st.button("Generate"):
     dp.pop("device", None)
     dp.update(respace_type="uniform", respace_steps=steps,
               guidance_scale=scale, cond_kwarg="text_embed")
-    text_embed = sd.text_encoder_encode(params, [prompt])
-    neg_embed = sd.text_encoder_encode(params, [negative])
+    text_embed = sd.text_encoder_encode(params, [prompt] * batch_size)
+    neg_embed = sd.text_encoder_encode(params, [negative] * batch_size)
 
     # cache the compiled sampler across Streamlit reruns (script re-executes
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_sd_samplers", {})
-    cache_key = (sampler, steps, scale, size)
+    cache_key = (sampler, steps, scale, height, width, batch_size)
     if cache_key not in cache:
         cls = DPMSolverPPCFG if sampler == "dpmpp" else DDIMCFG
         diffuser = cls(**dp)
@@ -79,8 +90,16 @@ if st.button("Generate"):
         cache[cache_key] = fn
     fn = cache[cache_key]
 
-    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
-    z = fn(params, jax.random.normal(k_noise, (1, size // 8, size // 8, 4)),
-           k_samp, text_embed, neg_embed)
-    img = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
-    st.image(to_pil(img[0]), width=size)
+    for i in range(batch_count):
+        k = jax.random.fold_in(jax.random.PRNGKey(int(seed)), i)
+        k_noise, k_samp = jax.random.split(k)
+        noise = jax.random.normal(k_noise, (batch_size, height // 8, width // 8, 4))
+        if offset_noise > 0:
+            # per-sample constant offset added to the init noise
+            # (reference page :98-100)
+            noise = noise + offset_noise * jax.random.normal(
+                jax.random.fold_in(k_noise, 1), (batch_size, 1, 1, 1))
+        z = fn(params, noise, k_samp, text_embed, neg_embed)
+        imgs = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
+        for b in range(batch_size):
+            st.image(to_pil(imgs[b]), width=width)

@@ -161,6 +161,34 @@ def test_repaint_collect_contract_is_loud():
                         jax.random.PRNGKey(0), collect=("pred_x0",))
 
 
+def test_clip_guidance_from_pretrained_branch(tmp_path):
+    """The constructor branch real users hit: FlaxCLIPModel + CLIPTokenizer
+    loaded from a LOCAL directory (tiny random-init fixture), then set_text
+    and a short guided sampling run end-to-end
+    (reference: diffusions/guidance/clip_guidance.py:38-50)."""
+    from dmtpu.diffusions.guidance.clip_guidance import CLIPGuidance
+    from tests._tiny_fixtures import make_tiny_clip_dir
+
+    clip_dir = make_tiny_clip_dir(tmp_path / "clip")
+
+    def run(weight):
+        g = CLIPGuidance(guidance_weight=weight, clip_pretrained=clip_dir,
+                         image_size=64, total_steps=10)
+        g.set_text("a cat")
+        assert g.text_embed.shape == (1, 16)
+        np.testing.assert_allclose(
+            float(jnp.linalg.norm(g.text_embed)), 1.0, rtol=1e-5)
+        rs = np.random.RandomState(0)
+        init = jnp.asarray(rs.randn(1, 8, 8, 3).astype(np.float32))
+        out = g.sample(lambda x, t, **kw: 0.05 * x, init, jax.random.PRNGKey(0))
+        assert out.shape == init.shape
+        assert np.isfinite(np.asarray(out)).all()
+        return np.asarray(out)
+
+    guided, unguided = run(5.0), run(0.0)
+    assert not np.allclose(guided, unguided)  # guidance shifts the trajectory
+
+
 def test_clip_guidance_grad_wrt_pixel_values():
     """The guidance delta must equal w·sqrt(1/ᾱ)·var·resize(dL/d pixel_values)
     — NOT the gradient through the preprocessing chain, whose ~0.5/std
