@@ -6,6 +6,10 @@ Workloads (random-init weights; DDIM-50 scanned sampler loop; bf16 torso with
 f32 GroupNorm/softmax islands):
   - SD1.5 UNet 512² (64×64×4 latents), batch 16 — headline metric.
   - DiT-XL/2 256² (32×32×4 latents), batch 32 — reported in "extra".
+  - SDXL-base 1024² (128×128×4 latents), batch 1 — reported in "extra".
+  - TRAIN steps (fwd+bwd+optimizer, remat+flash backward): SD1.5 512² with
+    adafactor and DiT-XL/2 256² with AdamW(bf16 mu) — "extra",
+    benchmarks/train_northstar.py.
 
 ``vs_baseline`` divides by a documented A100 estimate per model — the
 derivation (XLA-counted FLOPs × published-peak × typical eager-inference MFU)
@@ -40,6 +44,8 @@ from northstar import (  # noqa: E402
 SD_BATCH = 16
 DIT_BATCH = 32
 SDXL_BATCH = 1
+SD_TRAIN_BATCH = 16
+DIT_TRAIN_BATCH = 32
 
 
 def main():
@@ -52,6 +58,12 @@ def main():
     _, sdxl_init, sdxl_apply = build_sdxl_unet()
     sdxl_sps, _ = time_ddim50(sdxl_init, sdxl_apply, latent_hw=128,
                               batch=SDXL_BATCH, ctx_dim=2048)
+
+    from train_northstar import dit_train_metrics, sd15_train_metrics
+
+    train_extra = {}
+    train_extra.update(sd15_train_metrics(batch=SD_TRAIN_BATCH))
+    train_extra.update(dit_train_metrics(batch=DIT_TRAIN_BATCH))
 
     print(json.dumps({
         "metric": "DDIM-50 SD1.5 512x512 sampling throughput",
@@ -70,6 +82,7 @@ def main():
             "sdxl_mfu_v5e": round(mfu(sdxl_sps, SDXL_GFLOPS_PER_STEP), 3),
             "a100_baselines": {"sd15": A100_BASELINE_SD15, "dit_xl2": A100_BASELINE_DIT,
                                "sdxl": A100_BASELINE_SDXL},
+            **train_extra,
         },
     }))
 

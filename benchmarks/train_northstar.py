@@ -1,0 +1,128 @@
+"""North-star TRAINING benchmarks: train-step throughput + MFU on one chip.
+
+The reference's training half (reference: scripts/train_ddpm.py:42-249 —
+micro-batch loop + DDP all-reduce + clip + Adam + EMA) compiles here into one
+jitted step (dmtpu/parallel/train.py).  Workloads (bf16 torso, f32 islands;
+per-workload remat choice is the measured-fastest that fits):
+
+- **SD1.5 512² train step** (64×64×4 latents + CLIP-77 context), adafactor:
+  f32 Adam moments alone are 6.9 GB of the 16 GB HBM (docs/ROADMAP.md memory
+  wall) — adafactor's factored second moment crosses it on ONE chip.
+- **DiT-XL/2 256² train step** (32×32×4 latents, class-conditional),
+  adafactor WITHOUT remat: freeing the 5.4 GB of AdamW moments buys back
+  enough HBM to keep all activations, and skipping recompute is worth +35%
+  measured (113.9 -> 153.7 img/s; docs/ROADMAP.md round-3 table).
+
+A100 baselines (documented derivation; the reference publishes no training
+throughput, and this image has zero egress):
+
+- Train step ≈ 3× forward FLOPs (standard fwd+bwd accounting; the optimizer
+  is bandwidth-bound and excluded, as is remat recompute — both sides).
+- SD1.5: 3 × 788.7 GF = 2.366 TF/img.  Eager PyTorch AMP + xformers LDM
+  fine-tuning sustains 25-35% MFU on A100; at 30% of 312 TFLOPS →
+  39.6 img/s.  **Baseline: 40 img/s/chip.**
+- DiT-XL/2: 3 × 237.9 GF = 713.7 GF/img.  Eager ViT training ~35% MFU →
+  153 img/s.  **Baseline: 150 img/s/chip.**
+
+MFU here divides by the same 3×-forward model FLOPs (remat recompute is NOT
+credited, per standard MFU convention).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from northstar import DIT_XL2_GFLOPS_PER_STEP, SD15_GFLOPS_PER_STEP, V5E_PEAK_TFLOPS
+
+A100_BASELINE_SD15_TRAIN = 40.0   # img/s, derivation above
+A100_BASELINE_DIT_TRAIN = 150.0   # img/s, derivation above
+
+
+def _time_step(step_fn, state, batch, rng, reps):
+    state, metrics = step_fn(state, batch, rng)          # compile + warm-up
+    float(metrics["loss"])
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+        float(metrics["loss"])                            # host sync (tunnel)
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def sd15_train_metrics(batch: int = 8, reps: int = 3) -> dict:
+    from dmtpu.diffusions import DDPM
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+    from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step
+    from dmtpu.utils import optim as optim_lib
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=True)
+
+    def apply_fn(p, x, t, rngs=None, context=None, **kw):
+        return model.apply(p, x, t, context)
+
+    tx = optim_lib.adafactor(lr=1e-4)
+    loss_fn = make_diffusion_loss_fn(DDPM(total_steps=1000), apply_fn,
+                                     total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, jnp.zeros((1, 64, 64, 4)),
+                                 jnp.zeros((1,), jnp.int32),
+                                 jnp.zeros((1, 77, 768)))
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 64, 64, 4)),
+               "context": jax.random.normal(jax.random.fold_in(rng, 1),
+                                            (batch, 77, 768))}
+    dt = _time_step(step_fn, state, batch_d, rng, reps)
+    ips = batch / dt
+    return {
+        "sd15_train_imgs_per_sec": round(ips, 3),
+        "sd15_train_batch": batch,
+        "sd15_train_mfu_v5e": round(
+            ips * 3.0 * SD15_GFLOPS_PER_STEP / (V5E_PEAK_TFLOPS * 1e3), 3),
+        "sd15_train_vs_a100_baseline": round(ips / A100_BASELINE_SD15_TRAIN, 3),
+        "sd15_train_optimizer": "adafactor",
+    }
+
+
+def dit_train_metrics(batch: int = 32, reps: int = 3) -> dict:
+    """No-remat + adafactor: the measured-fastest single-chip config."""
+    from dmtpu.diffusions import DDPM
+    from dmtpu.models.dit import dit_model
+    from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step
+    from dmtpu.utils import optim as optim_lib
+
+    model = dit_model("DiT-XL/2", input_size=32, dtype=jnp.bfloat16,
+                      use_checkpoint=False, learn_sigma=False)
+
+    def apply_fn(p, x, t, rngs=None, y=None, **kw):
+        return model.apply(p, x, t, y)
+
+    tx = optim_lib.adafactor(lr=1e-4)
+    loss_fn = make_diffusion_loss_fn(DDPM(total_steps=1000), apply_fn,
+                                     total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(model.init)(rng, jnp.zeros((1, 32, 32, 4)),
+                                 jnp.zeros((1,), jnp.int32),
+                                 jnp.zeros((1,), jnp.int32))
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 32, 32, 4)),
+               "y": jax.random.randint(jax.random.fold_in(rng, 1), (batch,),
+                                       0, 1000)}
+    dt = _time_step(step_fn, state, batch_d, rng, reps)
+    ips = batch / dt
+    return {
+        "dit_train_imgs_per_sec": round(ips, 3),
+        "dit_train_batch": batch,
+        "dit_train_mfu_v5e": round(
+            ips * 3.0 * DIT_XL2_GFLOPS_PER_STEP / (V5E_PEAK_TFLOPS * 1e3), 3),
+        "dit_train_vs_a100_baseline": round(ips / A100_BASELINE_DIT_TRAIN, 3),
+        "dit_train_optimizer": "adafactor(noremat)",
+    }

@@ -1,0 +1,169 @@
+"""Round-3 probe: train-step feasibility + timing on the real chip.
+
+Measures SD1.5 512-squared and DiT-XL/2 256-squared train steps (forward +
+backward + optimizer) at several batch sizes.  Writes one JSON line per
+configuration to stdout.  Run standalone (never concurrently with pytest —
+the tunnel is single-user).
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmarks")
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dmtpu.diffusions import DDPM  # noqa: E402
+from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step  # noqa: E402
+from dmtpu.utils import optim as optim_lib  # noqa: E402
+
+V5E_PEAK_TFLOPS = 197.0
+
+
+def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
+                    fwd_gflops=None):
+    diffuser = DDPM(total_steps=1000)
+    loss_fn = make_diffusion_loss_fn(diffuser, model_apply, total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(init_fn)(rng)
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch = {k: jax.random.normal(jax.random.fold_in(rng, i), shape)
+             for i, (k, shape) in enumerate(batch_shapes.items())}
+    bsz = batch["image"].shape[0]
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, rng)
+    l0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch, jax.random.fold_in(rng, i))
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    out = {
+        "label": label, "batch": bsz, "params_m": round(n_params / 1e6, 1),
+        "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
+        "imgs_per_sec": round(bsz / dt, 3), "loss0": round(l0, 4),
+        "all_times": [round(t, 4) for t in times],
+    }
+    if fwd_gflops:
+        model_tf_per_img = 3.0 * fwd_gflops / 1e3  # fwd+bwd ~= 3x fwd (std MFU)
+        out["train_mfu_v5e"] = round(
+            (bsz / dt) * model_tf_per_img / V5E_PEAK_TFLOPS, 3)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def sd15(batch, remat=True):
+    from northstar import SD15_GFLOPS_PER_STEP
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=remat)
+
+    def init_fn(rng):
+        return model.init(rng, jnp.zeros((1, 64, 64, 4)),
+                          jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)))
+
+    def apply_fn(p, x, t, rngs=None, context=None, **kw):
+        return model.apply(p, x, t, context)
+
+    return time_train_step(
+        apply_fn, init_fn,
+        {"image": (batch, 64, 64, 4), "context": (batch, 77, 768)},
+        optim_lib.adafactor(lr=1e-4),
+        f"sd15_train_b{batch}" + ("" if remat else "_noremat"),
+        fwd_gflops=SD15_GFLOPS_PER_STEP)
+
+
+def dit(batch, opt="adamw_bf16mu", remat=True):
+    from northstar import DIT_XL2_GFLOPS_PER_STEP
+    from dmtpu.models.dit import dit_model
+
+    model = dit_model("DiT-XL/2", input_size=32, dtype=jnp.bfloat16,
+                      use_checkpoint=remat, learn_sigma=False)
+
+    def init_fn(rng):
+        return model.init(rng, jnp.zeros((1, 32, 32, 4)),
+                          jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+
+    def apply_fn(p, x, t, rngs=None, y=None, **kw):
+        return model.apply(p, x, t, y)
+
+    tx = (optim_lib.adamw(lr=1e-4, mu_dtype="bfloat16") if opt == "adamw_bf16mu"
+          else optim_lib.adafactor(lr=1e-4))
+    import numpy as np
+    y = np.random.RandomState(0).randint(0, 1000, size=(batch,))
+    diffuser = DDPM(total_steps=1000)
+    loss_fn = make_diffusion_loss_fn(diffuser, apply_fn, total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(init_fn)(rng)
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 32, 32, 4)),
+               "y": jnp.asarray(y, jnp.int32)}
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch_d, rng)
+    l0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch_d, jax.random.fold_in(rng, i))
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    model_tf_per_img = 3.0 * DIT_XL2_GFLOPS_PER_STEP / 1e3
+    print(json.dumps({
+        "label": f"dit_train_b{batch}_{opt}" + ("" if remat else "_noremat"),
+        "batch": batch,
+        "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
+        "imgs_per_sec": round(batch / dt, 3), "loss0": round(l0, 4),
+        "train_mfu_v5e": round((batch / dt) * model_tf_per_img / V5E_PEAK_TFLOPS, 3),
+        "all_times": [round(t, 4) for t in times],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "sd4"):
+        sd15(4)
+    if which == "sd8nr":
+        sd15(8, remat=False)
+    if which == "sd16nr":
+        sd15(16, remat=False)
+    if which in ("all", "sd8"):
+        sd15(8)
+    if which in ("all", "sd16"):
+        sd15(16)
+    if which in ("all", "dit16"):
+        dit(16)
+    if which in ("all", "dit32"):
+        dit(32)
+    if which == "dit32nr":
+        dit(32, remat=False)
+    if which == "dit16nr":
+        dit(16, remat=False)
+    if which == "dit64":
+        dit(64)
+    if which == "sd12nr":
+        sd15(12, remat=False)
+    if which == "dit32nraf":
+        dit(32, opt="adafactor", remat=False)
+    if which == "sd16nr2":
+        sd15(16, remat=False)

@@ -54,7 +54,9 @@ class SDXLConditioner:
     [B, 2].
     """
 
-    def __init__(self, embed_dim: int = 256, emb_models: Any = None, **_: Any):
+    def __init__(self, embed_dim: int = 256, emb_models: Any = None,
+                 clip_l_overrides: Optional[Dict] = None,
+                 clip_g_overrides: Optional[Dict] = None, **_: Any):
         # ``emb_models`` (the GeneralConditioner yaml list,
         # weights/sdxl/sd_xl_base.yaml) is VERIFIED against the standard
         # 5-embedder base composition this class hardcodes — any other
@@ -74,8 +76,12 @@ class SDXLConditioner:
                 t = cfg.get("target", "")
                 if t.endswith("ConcatTimestepEmbedderND"):
                     embed_dim = int(cfg.get("params", {}).get("outdim", embed_dim))
-        self.clip_l = CLIPTextTransformer(**CLIP_TEXT_CONFIGS["clip-vit-l"])
-        self.clip_g = CLIPTextTransformer(**CLIP_TEXT_CONFIGS["open-clip-vit-bigg"])
+        # *_overrides shrink the towers for tests/demo configs (the weight
+        # yamls never set them, so checkpoint parity is unaffected)
+        cfg_l = {**CLIP_TEXT_CONFIGS["clip-vit-l"], **(clip_l_overrides or {})}
+        cfg_g = {**CLIP_TEXT_CONFIGS["open-clip-vit-bigg"], **(clip_g_overrides or {})}
+        self.clip_l = CLIPTextTransformer(**cfg_l)
+        self.clip_g = CLIPTextTransformer(**cfg_g)
         self.embed_dim = embed_dim
 
     def init(self, rng: Array) -> Dict:
@@ -154,6 +160,23 @@ class StableDiffusionXL:
             instantiate_from_config(unet_config) if unet_config else None
         )
         self.params: Optional[Dict] = None
+
+    def init_params(self, rng: Array, img_size: int = 64) -> Dict:
+        """Random-init params in the ``{"unet","vae","conditioner"}`` layout
+        ``load_state_dict`` produces — checkpoint-free demos/tests."""
+        k_unet, k_vae, k_cond = jax.random.split(rng, 3)
+        lat = img_size // 8
+        ctx_dim = self.unet.context_dim
+        adm_in = self.unet.adm_in_channels
+        unet_p = self.unet.init(
+            k_unet, jnp.zeros((1, lat, lat, self.unet.in_channels)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, ctx_dim)),
+            jnp.zeros((1, adm_in)))
+        vae_p = self.vae.init(k_vae, jnp.zeros((1, img_size, img_size, 3)),
+                              rng=jax.random.PRNGKey(0))
+        cond_p = self.conditioner.init(k_cond)
+        self.params = {"unet": unet_p, "vae": vae_p, "conditioner": cond_p}
+        return self.params
 
     def load_state_dict(self, state_dict: Dict, clip_l_sd=None, clip_g_sd=None):
         from dmtpu.convert.sd import convert_sdxl_checkpoint

@@ -51,10 +51,16 @@ class FeedForward(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Self- or cross-attention with flash path; q/k/v have no bias."""
+    """Self- or cross-attention with flash path; q/k/v have no bias.
+
+    ``prefer_flash`` (training graphs) makes the dispatch choose the Pallas
+    kernel over the XLA S-by-S path whenever its shape constraints allow —
+    the XLA path's backward materialises the full f32 logits tensor
+    (dmtpu/ops/attention.py::_should_use_flash)."""
 
     heads: int = 8
     dim_head: int = 64
+    prefer_flash: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -71,6 +77,7 @@ class CrossAttention(nn.Module):
             q.reshape(b, tq, self.heads, self.dim_head),
             k.reshape(b, tk, self.heads, self.dim_head),
             v.reshape(b, tk, self.heads, self.dim_head),
+            prefer_flash=self.prefer_flash,
         ).reshape(b, tq, inner)
         return nn.Dense(d, dtype=self.dtype, name="to_out__0")(out)
 
@@ -82,14 +89,17 @@ class BasicTransformerBlock(nn.Module):
     d_head: int
     gated_ff: bool = True
     disable_self_attn: bool = False
+    prefer_flash: bool = False
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        x = CrossAttention(self.n_heads, self.d_head, dtype=self.dtype, name="attn1")(
+        x = CrossAttention(self.n_heads, self.d_head, prefer_flash=self.prefer_flash,
+                           dtype=self.dtype, name="attn1")(
             nn.LayerNorm(epsilon=1e-5, name="norm1")(x),
             context=context if self.disable_self_attn else None) + x
-        x = CrossAttention(self.n_heads, self.d_head, dtype=self.dtype, name="attn2")(
+        x = CrossAttention(self.n_heads, self.d_head, prefer_flash=self.prefer_flash,
+                           dtype=self.dtype, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context=context) + x
         x = FeedForward(glu=self.gated_ff, dtype=self.dtype, name="ff")(
             nn.LayerNorm(epsilon=1e-5, name="norm3")(x)) + x
@@ -104,6 +114,7 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     disable_self_attn: bool = False
     use_linear: bool = False
+    prefer_flash: bool = False
     dtype: Any = None
 
     @nn.compact
@@ -120,6 +131,7 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             x = BasicTransformerBlock(self.n_heads, self.d_head,
                                       disable_self_attn=self.disable_self_attn,
+                                      prefer_flash=self.prefer_flash,
                                       dtype=self.dtype, name=f"transformer_blocks__{i}")(
                 x, context=context)
         if self.use_linear:

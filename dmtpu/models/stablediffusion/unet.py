@@ -123,7 +123,11 @@ class SDUNetModel(nn.Module):
             if self.use_spatial_transformer:
                 return SpatialTransformer(
                     num_heads, dim_head, depth=depth, disable_self_attn=disable_sa,
-                    use_linear=self.use_linear_in_transformer, dtype=dt, name=idx_name)
+                    use_linear=self.use_linear_in_transformer,
+                    # training (remat on) differentiates the attention: the
+                    # XLA S-by-S path would materialise f32 logits in the
+                    # backward (8 GB at b16 S4096) -- prefer the flash kernel
+                    prefer_flash=self.use_checkpoint, dtype=dt, name=idx_name)
             return AttentionBlock(
                 heads_override or num_heads, dim_head, self.use_new_attention_order,
                 dtype=dt, name=idx_name)

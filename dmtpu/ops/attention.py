@@ -70,7 +70,8 @@ def _pallas_flash():
         return None
 
 
-def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int) -> bool:
+def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int,
+                      prefer_flash: bool = False) -> bool:
     """Flash-vs-XLA dispatch for [B, S, H, D] attention on TPU.
 
     The Pallas kernel pads head_dim to the 128-wide lane register; below
@@ -80,8 +81,15 @@ def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int) -> bool:
     Only up to S=4096² logits though: past that the S×S materialisation the
     XLA path implies stops fitting (e.g. S=16384 at b·h=128 would be a
     ~137 GB f32 weight tensor) — flash must take it regardless of d.
+
+    ``prefer_flash`` disables the XLA-beats-flash heuristic: when the op will
+    be DIFFERENTIATED (training), the XLA path's backward materialises the
+    full f32 S×S logits (8 GB at b16·h8·S4096 — an instant OOM on one v5e),
+    so callers in training graphs must prefer the flash kernel whenever its
+    shape constraints allow.
     """
-    pad_wasteful = d < 64 and b * h >= 128 and sq * sk <= 4096 * 4096
+    pad_wasteful = (not prefer_flash and d < 64 and b * h >= 128
+                    and sq * sk <= 4096 * 4096)
     return (
         not pad_wasteful
         and min(sq, sk) >= _FLASH_MIN_SEQ
@@ -96,16 +104,18 @@ def flash_mha(
     k: Array,
     v: Array,
     scale: Optional[float] = None,
+    prefer_flash: bool = False,
 ) -> Array:
     """Flash attention on TPU for long sequences; XLA fallback otherwise.
 
     [B, S, H, D] layout.  Cross-attention (k/v sequence differing from q's)
-    is supported.
+    is supported.  Set ``prefer_flash=True`` in training graphs — see
+    ``_should_use_flash``.
     """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     fa = _pallas_flash()
-    if fa is None or not _should_use_flash(b, sq, sk, h, d):
+    if fa is None or not _should_use_flash(b, sq, sk, h, d, prefer_flash):
         return mha(q, k, v, scale=scale)
 
     sm_scale = (d ** -0.5) if scale is None else scale

@@ -36,7 +36,11 @@ TOKENIZER_G = os.environ.get("DMTPU_OPENCLIP_TOKENIZER", TOKENIZER_L)
 def load_sdxl():
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
-    params = model.load_state_dict(load_torch_weights(WEIGHTS))
+    if WEIGHTS:
+        params = model.load_state_dict(load_torch_weights(WEIGHTS))
+    else:
+        st.warning("DMTPU_SDXL_WEIGHTS not set — running with RANDOM weights (demo mode)")
+        params = model.init_params(jax.random.PRNGKey(0))
     from transformers import CLIPTokenizer
 
     tok_l = CLIPTokenizer.from_pretrained(TOKENIZER_L)

@@ -92,6 +92,45 @@ def tiny_sd_config(path, context_dim=32, max_length=16):
     })
 
 
+def tiny_sdxl_config(path):
+    """Page-4 seam: tiny SDXL stack (conditioner towers shrunk via
+    clip_l/g_overrides; crossattn 32+64=96, vector 64+3*2*16=160)."""
+    return write_yaml(path, {
+        "model": {
+            "target": "dmtpu.models.sdxl.StableDiffusionXL",
+            "params": {
+                "scale_factor": 0.13025,
+                "conditioner_config": {
+                    "target": "dmtpu.models.sdxl.SDXLConditioner",
+                    "params": {"embed_dim": 16,
+                               "clip_l_overrides": {"width": 32, "layers": 2,
+                                                    "heads": 4, "vocab_size": 256},
+                               "clip_g_overrides": {"width": 64, "layers": 2,
+                                                    "heads": 4, "vocab_size": 256,
+                                                    "projection_dim": 64}}},
+                "unet_config": {
+                    "target": "dmtpu.models.stablediffusion.SDUNetModel",
+                    "params": {"in_channels": 4, "model_channels": 32,
+                               "out_channels": 4, "num_res_blocks": 1,
+                               "attention_resolutions": [2], "channel_mult": [1, 2],
+                               "num_head_channels": 16, "use_spatial_transformer": True,
+                               "transformer_depth": 1, "context_dim": 96,
+                               "num_classes": "sequential", "adm_in_channels": 160,
+                               "use_linear_in_transformer": True, "legacy": False}},
+                "vae_config": {
+                    "target": "dmtpu.models.stablediffusion.AutoencoderKL",
+                    "params": {"embed_dim": 4, "z_channels": 4, "ch": 32,
+                               "ch_mult": [1, 1, 1, 1], "num_res_blocks": 1,
+                               "resolution": 64}},
+            },
+        },
+        "diffusion": {"target": "diffusions.ddpm.DDPM",
+                      "params": {"total_steps": 100, "beta_schedule": "linear",
+                                 "beta_start": 0.0001, "beta_end": 0.02,
+                                 "objective": "pred_eps"}},
+    })
+
+
 def save_npz_params(path, model, sample_args):
     """Random-init `model` and export the .npz layout scripts/_common.py's
     ``load_model_params`` reads (``data['params'].item()``)."""

@@ -144,6 +144,21 @@ def test_flash_gate_long_sequences_never_fall_back():
     assert not _should_use_flash(1, 512, 512, 8, 64)      # short: XLA
 
 
+def test_flash_gate_prefer_flash_for_training():
+    """Training graphs must be able to force the flash kernel past the
+    XLA-beats-flash heuristic: differentiating the XLA path materialises the
+    full f32 S×S logits in the backward (8 GB at b16·h8·S4096 — OOM on one
+    v5e; hit by the round-3 SD1.5 b16 train step)."""
+    from dmtpu.ops.attention import _should_use_flash
+
+    # the exact OOM shape: heuristic says XLA for inference, flash for training
+    assert not _should_use_flash(16, 4096, 4096, 8, 40)
+    assert _should_use_flash(16, 4096, 4096, 8, 40, prefer_flash=True)
+    # prefer_flash never overrides the hard shape constraints
+    assert not _should_use_flash(1, 512, 512, 8, 64, prefer_flash=True)
+    assert not _should_use_flash(1, 4096, 4096, 8, 16, prefer_flash=True)
+
+
 def test_flash_mha_differentiable():
     """Regression: training through flash attention requires the BACKWARD
     block sizes too — jax.grad used to fail at trace time ('not all backward

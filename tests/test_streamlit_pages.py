@@ -190,3 +190,23 @@ def test_sd_page_generates_images_demo_mode(monkeypatch, tmp_path):
     assert len(st.images) == 4  # batch_count x batch_size
     img = np.asarray(st.images[0])
     assert img.shape[:2] == (256, 256)
+
+
+def test_sdxl_page_generates_images_demo_mode(monkeypatch, tmp_path):
+    """Page 4 end-to-end: random-init demo mode, conditioner cond/uncond
+    dicts, offset noise, VAE decode."""
+    from tests._tiny_fixtures import make_tiny_clip_dir, tiny_sdxl_config
+
+    conf = tiny_sdxl_config(tmp_path / "sdxl.yaml")
+    clip_dir = make_tiny_clip_dir(tmp_path / "clip")
+
+    st = _run_page(
+        _page("4_Stable_Diffusion_XL"), monkeypatch, button=True,
+        overrides={"Steps": 4, "Height": 256, "Width": 256,
+                   "Offset noise": 0.1, "Batch size": 2},
+        env={"DMTPU_SDXL_CONFIG": conf, "DMTPU_SDXL_WEIGHTS": None,
+             "DMTPU_CLIP_TOKENIZER": clip_dir,
+             "DMTPU_OPENCLIP_TOKENIZER": clip_dir})
+    assert any("RANDOM" in w for w in st.warnings)
+    assert len(st.images) == 2
+    assert np.asarray(st.images[0]).shape[:2] == (256, 256)
