@@ -91,6 +91,65 @@ def sd15(batch, remat=True):
         fwd_gflops=SD15_GFLOPS_PER_STEP)
 
 
+def sd15_conv_only(batch):
+    """Ablation: the SD1.5 UNet with ALL transformers removed
+    (attention_resolutions=()) — isolates the conv backbone's TRAINING MFU
+    (dgrad/wgrad) to decompose the full-step gap.  Reports exact FLOPs from
+    the compiled step's cost_analysis (includes remat recompute)."""
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=True)
+
+    def apply_fn(p, x, t, rngs=None, context=None, **kw):
+        return model.apply(p, x, t, context)
+
+    tx = optim_lib.adafactor(lr=1e-4)
+    loss_fn = make_diffusion_loss_fn(DDPM(total_steps=1000), apply_fn,
+                                     total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 64, 64, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768))))(rng)
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 64, 64, 4)),
+               "context": jax.random.normal(jax.random.fold_in(rng, 1),
+                                            (batch, 77, 768))}
+    jitted = jax.jit(step_fn)
+    t0 = time.perf_counter()
+    compiled = jitted.lower(state, batch_d, rng).compile()
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", float("nan")))
+    except Exception:
+        flops = float("nan")
+    state2, metrics = jitted(state, batch_d, rng)
+    l0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state2, metrics = jitted(state2, batch_d, jax.random.fold_in(rng, i))
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    print(json.dumps({
+        "label": f"sd15_train_convonly_b{batch}", "batch": batch,
+        "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
+        "imgs_per_sec": round(batch / dt, 3), "loss0": round(l0, 4),
+        "cost_analysis_tflops_per_step": round(flops / 1e12, 3)
+        if flops == flops else None,
+        "hw_util": round(flops / 1e12 / dt / V5E_PEAK_TFLOPS, 3)
+        if flops == flops else None,
+        "all_times": [round(t, 4) for t in times],
+    }), flush=True)
+
+
 def dit(batch, opt="adamw_bf16mu", remat=True):
     from northstar import DIT_XL2_GFLOPS_PER_STEP
     from dmtpu.models.dit import dit_model
@@ -167,3 +226,5 @@ if __name__ == "__main__":
         dit(32, opt="adafactor", remat=False)
     if which == "sd16nr2":
         sd15(16, remat=False)
+    if which == "sdconv16":
+        sd15_conv_only(16)
