@@ -27,7 +27,7 @@ V5E_PEAK_TFLOPS = 197.0
 
 
 def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
-                    fwd_gflops=None):
+                    fwd_gflops=None, ema=False):
     diffuser = DDPM(total_steps=1000)
     loss_fn = make_diffusion_loss_fn(diffuser, model_apply, total_steps=1000)
     step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
@@ -35,7 +35,7 @@ def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
     rng = jax.random.PRNGKey(0)
     params = jax.jit(init_fn)(rng)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
-    state = TrainState.create(params, tx, ema_decay=None)
+    state = TrainState.create(params, tx, ema_decay=0.9999 if ema else None)
     batch = {k: jax.random.normal(jax.random.fold_in(rng, i), shape)
              for i, (k, shape) in enumerate(batch_shapes.items())}
     bsz = batch["image"].shape[0]
@@ -66,7 +66,7 @@ def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
     return out
 
 
-def sd15(batch, remat=True):
+def sd15(batch, remat=True, ema=False):
     from northstar import SD15_GFLOPS_PER_STEP
     from dmtpu.models.stablediffusion.unet import SDUNetModel
 
@@ -87,8 +87,8 @@ def sd15(batch, remat=True):
         apply_fn, init_fn,
         {"image": (batch, 64, 64, 4), "context": (batch, 77, 768)},
         optim_lib.adafactor(lr=1e-4),
-        f"sd15_train_b{batch}" + ("" if remat else "_noremat"),
-        fwd_gflops=SD15_GFLOPS_PER_STEP)
+        f"sd15_train_b{batch}" + ("" if remat else "_noremat") + ("_ema" if ema else ""),
+        fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema)
 
 
 def sd15_conv_only(batch):
@@ -228,3 +228,7 @@ if __name__ == "__main__":
         sd15(16, remat=False)
     if which == "sdconv16":
         sd15_conv_only(16)
+    if which == "sd8ema":
+        sd15(8, remat=True, ema=True)
+    if which == "dit48nraf":
+        dit(48, opt="adafactor", remat=False)

@@ -22,8 +22,18 @@ def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     fsdp: int = 1,
 ) -> Mesh:
-    """Build a (data, fsdp) mesh over the given (default: all) devices."""
-    devices = list(devices) if devices is not None else jax.devices()
+    """Build a (data, fsdp) mesh over the given devices.
+
+    With ``devices=None``: all devices of the pinned default backend if
+    ``jax.config.jax_default_device`` is set (the test suite pins CPU this
+    way — a TPU-backend mesh inside the CPU-pinned suite would be wrong),
+    otherwise all devices of the default backend.
+    """
+    if devices is None:
+        dd = jax.config.jax_default_device
+        platform = getattr(dd, "platform", dd) if dd is not None else None
+        devices = jax.devices(platform) if platform is not None else jax.devices()
+    devices = list(devices)
     n = len(devices)
     if n % fsdp != 0:
         raise ValueError(f"fsdp={fsdp} must divide device count {n}")

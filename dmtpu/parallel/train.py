@@ -54,22 +54,31 @@ def make_train_step(
     micro_batches: int = 1,
     mesh: Optional[Mesh] = None,
     donate: bool = False,
+    n_extra_args: int = 0,
 ) -> Callable[[TrainState, Any, Array], Tuple[TrainState, Dict[str, Array]]]:
-    """Build the compiled ``(state, batch, rng) -> (state, metrics)`` step.
+    """Build the compiled ``(state, batch, rng, *extra) -> (state, metrics)``
+    step.
 
     ``micro_batches > 1`` reproduces the reference's gradient accumulation
     (reference: scripts/train_ddpm.py:176-185) as a scan over leading-axis
     splits of the batch.
+
+    ``n_extra_args`` positional pytrees after ``rng`` are forwarded to
+    ``loss_fn(params, batch, rng, *extra)`` unchanged and replicated on the
+    mesh — the seam for FROZEN towers (latent-diffusion fine-tuning passes
+    the VAE + text-encoder params here: they must be jit ARGUMENTS, not
+    closures, so the weight tree is never baked into the lowering, and they
+    must not be batch-sharded like the data).
 
     ``donate=True`` donates the input state's buffers (halves peak HBM for
     the optimizer update); off by default because some PJRT transports (the
     axon tunnel used in CI) reject donation with InvalidArgument.
     """
 
-    def grads_of(params, batch, rng):
-        return jax.value_and_grad(loss_fn)(params, batch, rng)
+    def grads_of(params, batch, rng, *extra):
+        return jax.value_and_grad(loss_fn)(params, batch, rng, *extra)
 
-    def step_fn(state: TrainState, batch: Any, rng: Array):
+    def step_fn(state: TrainState, batch: Any, rng: Array, *extra):
         if micro_batches > 1:
             mb = jax.tree.map(
                 lambda x: x.reshape((micro_batches, x.shape[0] // micro_batches) + x.shape[1:]),
@@ -80,7 +89,7 @@ def make_train_step(
             def accum(carry, inp):
                 loss_sum, grad_sum = carry
                 b, k = inp
-                loss, grads = grads_of(state.params, b, k)
+                loss, grads = grads_of(state.params, b, k, *extra)
                 return (loss_sum + loss, jax.tree.map(jnp.add, grad_sum, grads)), None
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
@@ -88,7 +97,7 @@ def make_train_step(
             loss = loss / micro_batches
             grads = jax.tree.map(lambda g: g / micro_batches, grads)
         else:
-            loss, grads = grads_of(state.params, batch, rng)
+            loss, grads = grads_of(state.params, batch, rng, *extra)
 
         grad_norm = optax.global_norm(grads)
         if clip_grad_norm is not None:
@@ -114,7 +123,7 @@ def make_train_step(
     rep = NamedSharding(mesh, P())
     return jax.jit(
         step_fn,
-        in_shardings=(None, bsh, rep),
+        in_shardings=(None, bsh, rep) + (rep,) * n_extra_args,
         donate_argnums=(0,) if donate else (),
     )
 

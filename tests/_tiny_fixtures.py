@@ -57,38 +57,66 @@ def tiny_cfg_config(path):
     })
 
 
+def _tiny_sd_model(context_dim=32, max_length=16):
+    return {
+        "target": "dmtpu.models.stablediffusion.StableDiffusion",
+        "params": {
+            "scale_factor": 0.18215,
+            "unet_config": {
+                "target": "dmtpu.models.stablediffusion.SDUNetModel",
+                "params": {"in_channels": 4, "model_channels": 32,
+                           "out_channels": 4, "num_res_blocks": 1,
+                           "attention_resolutions": [2], "channel_mult": [1, 2],
+                           "num_heads": 2, "use_spatial_transformer": True,
+                           "transformer_depth": 1, "context_dim": context_dim,
+                           "legacy": False}},
+            "vae_config": {
+                "target": "dmtpu.models.stablediffusion.AutoencoderKL",
+                "params": {"embed_dim": 4, "z_channels": 4, "ch": 32,
+                           "ch_mult": [1, 1, 1, 1], "num_res_blocks": 1,
+                           "resolution": 64}},
+            "text_encoder_config": {
+                "target": "dmtpu.models.stablediffusion.FrozenCLIPEmbedder",
+                "params": {"max_length": max_length,
+                           "config_overrides": {"width": context_dim,
+                                                "layers": 2, "heads": 4,
+                                                "vocab_size": 256}}},
+        },
+    }
+
+
 def tiny_sd_config(path, context_dim=32, max_length=16):
     """Page-3 seam: tiny StableDiffusion stack (UNet+VAE+CLIP text tower)."""
     return write_yaml(path, {
-        "model": {
-            "target": "dmtpu.models.stablediffusion.StableDiffusion",
-            "params": {
-                "scale_factor": 0.18215,
-                "unet_config": {
-                    "target": "dmtpu.models.stablediffusion.SDUNetModel",
-                    "params": {"in_channels": 4, "model_channels": 32,
-                               "out_channels": 4, "num_res_blocks": 1,
-                               "attention_resolutions": [2], "channel_mult": [1, 2],
-                               "num_heads": 2, "use_spatial_transformer": True,
-                               "transformer_depth": 1, "context_dim": context_dim,
-                               "legacy": False}},
-                "vae_config": {
-                    "target": "dmtpu.models.stablediffusion.AutoencoderKL",
-                    "params": {"embed_dim": 4, "z_channels": 4, "ch": 32,
-                               "ch_mult": [1, 1, 1, 1], "num_res_blocks": 1,
-                               "resolution": 64}},
-                "text_encoder_config": {
-                    "target": "dmtpu.models.stablediffusion.FrozenCLIPEmbedder",
-                    "params": {"max_length": max_length,
-                               "config_overrides": {"width": context_dim,
-                                                    "layers": 2, "heads": 4,
-                                                    "vocab_size": 256}}},
-            },
-        },
+        "model": _tiny_sd_model(context_dim, max_length),
         "diffusion": {"target": "diffusions.ddpm.DDPM",
                       "params": {"total_steps": 100, "beta_schedule": "linear",
                                  "beta_start": 0.0001, "beta_end": 0.02,
                                  "objective": "pred_eps"}},
+    })
+
+
+def tiny_sd_train_config(path, tokenizer_dir):
+    """scripts/train_sd.py seam: tiny SD + synthetic captioned data."""
+    return write_yaml(path, {
+        "seed": 0,
+        "weights": None,
+        "tokenizer": str(tokenizer_dir),
+        "data": {"target": "dmtpu.data.captioned.SyntheticCaptioned",
+                 "params": {"img_size": 32, "n": 32}},
+        "dataloader": {"num_workers": 0},
+        "model": _tiny_sd_model(),
+        "diffusion": {"target": "diffusions.ddpm.DDPM",
+                      "params": {"total_steps": 100, "beta_schedule": "quad",
+                                 "beta_start": 0.00085, "beta_end": 0.012,
+                                 "objective": "pred_eps"}},
+        "train": {"n_steps": 3, "batch_size": 8, "micro_batch": 0,
+                  "p_uncond": 0.25, "clip_grad_norm": 1.0,
+                  "ema_decay": 0.99, "print_freq": 1, "save_freq": 2,
+                  "sample_freq": 2, "sample_guidance_scale": 3.0,
+                  "sample_respace_steps": 4, "sample_prompts": ["a cat"],
+                  "optim": {"target": "dmtpu.utils.optim.adafactor",
+                            "params": {"lr": 0.0001}}},
     })
 
 
