@@ -91,6 +91,66 @@ def sd15(batch, remat=True, ema=False):
         fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema)
 
 
+def sd15_lora(batch, rank=16, ema=True, remat=True):
+    """LoRA fine-tune step: frozen base UNet as a jit argument, rank-r
+    adapters trainable (dmtpu/models/lora.py), EMA over the adapters."""
+    from northstar import SD15_GFLOPS_PER_STEP
+    from dmtpu.models.lora import apply_lora, init_lora
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=remat)
+
+    rng = jax.random.PRNGKey(0)
+    base = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 64, 64, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768))))(rng)
+    lora0 = init_lora(base, jax.random.fold_in(rng, 7), rank=rank)
+
+    diffuser = DDPM(total_steps=1000)
+
+    def loss_fn(lora, batch_d, key, frozen):
+        merged = apply_lora(frozen, lora, 1.0)
+
+        def apply_fn(p, x, t, rngs=None, context=None, **kw):
+            return model.apply(p, x, t, context)
+
+        inner = make_diffusion_loss_fn(diffuser, apply_fn, total_steps=1000)
+        return inner(merged, batch_d, key)
+
+    tx = optim_lib.adamw(lr=1e-4)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, n_extra_args=1)
+    state = TrainState.create(lora0, tx, ema_decay=0.9999 if ema else None)
+    n_tr = sum(int(p.size) for p in jax.tree.leaves(lora0))
+    batch_d = {"image": jax.random.normal(rng, (batch, 64, 64, 4)),
+               "context": jax.random.normal(jax.random.fold_in(rng, 1),
+                                            (batch, 77, 768))}
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch_d, rng, base)
+    l0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch_d, jax.random.fold_in(rng, i), base)
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    model_tf_per_img = 3.0 * SD15_GFLOPS_PER_STEP / 1e3
+    print(json.dumps({
+        "label": f"sd15_lora_r{rank}_b{batch}" + ("_ema" if ema else "")
+        + ("" if remat else "_noremat"),
+        "batch": batch, "trainable_m": round(n_tr / 1e6, 2),
+        "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
+        "imgs_per_sec": round(batch / dt, 3), "loss0": round(l0, 4),
+        "train_mfu_v5e": round((batch / dt) * model_tf_per_img / V5E_PEAK_TFLOPS, 3),
+        "all_times": [round(t, 4) for t in times],
+    }), flush=True)
+
+
 def sd15_conv_only(batch):
     """Ablation: the SD1.5 UNet with ALL transformers removed
     (attention_resolutions=()) — isolates the conv backbone's TRAINING MFU
@@ -232,3 +292,9 @@ if __name__ == "__main__":
         sd15(8, remat=True, ema=True)
     if which == "dit48nraf":
         dit(48, opt="adafactor", remat=False)
+    if which == "lora8":
+        sd15_lora(8)
+    if which == "lora16":
+        sd15_lora(16)
+    if which == "lora8nr":
+        sd15_lora(8, remat=False)

@@ -8,6 +8,7 @@ from dmtpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from dmtpu.parallel.sp import sp_attention
 from dmtpu.parallel.tp import shard_params_tp, tp_param_sharding
 from dmtpu.parallel.train import (
     TrainState,
@@ -30,4 +31,5 @@ __all__ = [
     "shard_train_state",
     "tp_param_sharding",
     "shard_params_tp",
+    "sp_attention",
 ]

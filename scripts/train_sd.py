@@ -19,6 +19,10 @@ Config additions over train_ddpm.py:
     tokenizer: local CLIPTokenizer path (omitted if the text encoder
                already has one injected)
     train.p_uncond: caption-dropout prob for CFG fine-tuning (in-graph)
+    train.lora: {rank, alpha?, targets?} -> LoRA fine-tuning: the UNet
+               joins the frozen towers and only the low-rank adapters
+               train (dmtpu/models/lora.py); checkpoints hold just the
+               adapter tree (~MBs)
 """
 import argparse
 import math
@@ -134,6 +138,34 @@ def main():
         tok = CLIPTokenizer.from_pretrained(tok_path)
         sd.text_encoder.tokenizer = tok
 
+    lora_conf = conf.train.get("lora")
+    if lora_conf:
+        from dmtpu.models.lora import (
+            DEFAULT_TARGETS,
+            apply_lora,
+            init_lora,
+            lora_param_count,
+            lora_scale,
+        )
+
+        rank = int(lora_conf["rank"])
+        scale = lora_scale(rank, lora_conf.get("alpha"))
+        targets = tuple(lora_conf.get("targets", DEFAULT_TARGETS))
+        trainable = init_lora(params["unet"], jax.random.PRNGKey(conf.get("seed", 0)),
+                              rank=rank, targets=targets)
+        logger.info(f"LoRA fine-tune: rank={rank} scale={scale:g} "
+                    f"adapters={len(trainable)} "
+                    f"({lora_param_count(trainable) / 1e6:.3f}M trainable; "
+                    f"base UNet frozen)")
+
+        def unet_params_of(train_p, frozen_p):
+            return apply_lora(frozen_p["unet"], train_p, scale)
+    else:
+        trainable = params["unet"]
+
+        def unet_params_of(train_p, frozen_p):
+            return train_p
+
     max_len = getattr(sd.text_encoder, "max_length", 77)
 
     def tokenize(texts):
@@ -143,8 +175,8 @@ def main():
 
     empty_ids = jnp.asarray(tokenize([""]))  # [1, L] — broadcast per sample
 
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params["unet"]))
-    logger.info(f"Trainable UNet parameters: {n_params / 1e6:.2f}M")
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(trainable))
+    logger.info(f"Trainable parameters: {n_params / 1e6:.2f}M")
 
     diffuser = instantiate_from_config(conf.diffusion)
     tx = instantiate_from_config(conf.train.optim)
@@ -153,10 +185,11 @@ def main():
     lr_at = lr_fn(conf.train.optim)
     p_uncond = float(conf.train.get("p_uncond", 0.0))
 
-    def loss_fn(unet_params, batch, rng, frozen):
+    def loss_fn(train_params, batch, rng, frozen):
         imgs, ids = batch["image"], batch["input_ids"]
         b = imgs.shape[0]
         k_enc, k_drop, k_t, k_eps, k_dropout = jax.random.split(rng, 5)
+        unet_params = unet_params_of(train_params, frozen)
         z0 = sd.encode_latent({"vae": frozen["vae"]}, imgs, k_enc)
         if p_uncond > 0:
             drop = jax.random.bernoulli(k_drop, p_uncond, (b,))
@@ -171,7 +204,7 @@ def main():
 
         return diffuser.loss_func(model_fn, z0, t, rng=k_eps)
 
-    state = TrainState.create(params["unet"], tx, ema_decay=conf.train.ema_decay,
+    state = TrainState.create(trainable, tx, ema_decay=conf.train.ema_decay,
                               ema_gradual=conf.train.get("ema_gradual", True))
     step = 0
     if args.resume is not None:
@@ -180,9 +213,10 @@ def main():
         step = int(state.step)
         logger.info(f"Resumed from {path} at step {step}")
     state = shard_train_state(state, mesh)
-    frozen = jax.device_put({"vae": params["vae"],
-                             "text_encoder": params["text_encoder"]},
-                            replicated_sharding(mesh))
+    frozen = {"vae": params["vae"], "text_encoder": params["text_encoder"]}
+    if lora_conf:
+        frozen["unet"] = params["unet"]
+    frozen = jax.device_put(frozen, replicated_sharding(mesh))
 
     train_step = make_train_step(loss_fn, tx,
                                  clip_grad_norm=conf.train.clip_grad_norm,
@@ -200,7 +234,9 @@ def main():
     preview = DDIMCFG(**dp)
 
     @jax.jit
-    def sample_fn(unet_p, fz, noise, key, ce, ue):
+    def sample_fn(train_p, fz, noise, key, ce, ue):
+        unet_p = unet_params_of(train_p, fz)
+
         def model_fn(x, t, text_embed=None, **kw):
             return sd.unet.apply(unet_p, x, t, text_embed)
 

@@ -96,8 +96,12 @@ def tiny_sd_config(path, context_dim=32, max_length=16):
     })
 
 
-def tiny_sd_train_config(path, tokenizer_dir):
-    """scripts/train_sd.py seam: tiny SD + synthetic captioned data."""
+def tiny_sd_train_config(path, tokenizer_dir, lora=None):
+    """scripts/train_sd.py seam: tiny SD + synthetic captioned data.
+
+    ``lora={"rank": 4}`` switches the script to LoRA fine-tuning.
+    """
+    extra = {"lora": dict(lora)} if lora else {}
     return write_yaml(path, {
         "seed": 0,
         "weights": None,
@@ -116,7 +120,7 @@ def tiny_sd_train_config(path, tokenizer_dir):
                   "sample_freq": 2, "sample_guidance_scale": 3.0,
                   "sample_respace_steps": 4, "sample_prompts": ["a cat"],
                   "optim": {"target": "dmtpu.utils.optim.adafactor",
-                            "params": {"lr": 0.0001}}},
+                            "params": {"lr": 0.0001}}, **extra},
     })
 
 
