@@ -51,6 +51,9 @@ DIT_TRAIN_BATCH = 32
 def main():
     _, sd_init, sd_apply = build_sd15_unet()
     sd_sps, _ = time_ddim50(sd_init, sd_apply, latent_hw=64, batch=SD_BATCH)
+    # low-NFE serving config: DPM-Solver++(2M) 20 steps ~ DDIM-50 quality
+    sd_dpmpp_sps, _ = time_ddim50(sd_init, sd_apply, latent_hw=64,
+                                  batch=SD_BATCH, steps=20, sampler="dpmpp")
 
     _, dit_init, dit_apply = build_dit_xl2()
     dit_sps, _ = time_ddim50(dit_init, dit_apply, latent_hw=32, batch=DIT_BATCH)
@@ -73,6 +76,7 @@ def main():
         "extra": {
             "sd15_mfu_v5e": round(mfu(sd_sps, SD15_GFLOPS_PER_STEP), 3),
             "sd15_batch": SD_BATCH,
+            "sd15_dpmpp20_samples_per_sec": round(sd_dpmpp_sps, 3),
             "dit_xl2_256_samples_per_sec": round(dit_sps, 3),
             "dit_xl2_vs_a100_baseline": round(dit_sps / A100_BASELINE_DIT, 3),
             "dit_xl2_mfu_v5e": round(mfu(dit_sps, DIT_XL2_GFLOPS_PER_STEP), 3),

@@ -140,49 +140,66 @@ class DiT(nn.Module):
     def out_channels(self) -> int:
         return self.in_channels * 2 if self.learn_sigma else self.in_channels
 
-    @nn.compact
-    def __call__(self, x: Array, t: Array, y: Optional[Array] = None, *, train: bool = False,
-                 force_drop_rng: Optional[Array] = None) -> Array:
-        b, h, w, cin = x.shape
+    def setup(self):
+        # setup-style (not @nn.compact) so `embed`/`head` are separately
+        # apply-able seams for pipeline parallelism (dmtpu/parallel/pp.py);
+        # explicit name= keeps the converted-checkpoint param tree identical.
+        p = self.patch_size
+        self.x_proj = nn.Conv(self.hidden_size, (p, p), strides=p, padding=0,
+                              dtype=self.dtype, name="x_embedder__proj")
+        self.t_mlp0 = nn.Dense(self.hidden_size, name="t_embedder__mlp__0")
+        self.t_mlp2 = nn.Dense(self.hidden_size, name="t_embedder__mlp__2")
+        n_rows = self.num_classes + (1 if self.class_dropout_prob > 0 else 0)
+        self.y_table = nn.Embed(n_rows, self.hidden_size,
+                                name="y_embedder__embedding_table")
+        self.blocks = [DiTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
+                                name=f"blocks__{i}") for i in range(self.depth)]
+        self.final = FinalLayer(p, self.out_channels, dtype=self.dtype,
+                                name="final_layer")
+
+    def embed(self, x: Array, t: Array, y: Optional[Array] = None, *,
+              train: bool = False, force_drop_rng: Optional[Array] = None):
+        """Patchify + pos embed + (t, y) conditioning -> (tokens, c)."""
+        b = x.shape[0]
         p = self.patch_size
         grid = self.input_size // p
-        num_patches = grid * grid
         if y is None:
             y = jnp.full((b,), self.num_classes, jnp.int32)
 
         # patchify (timm PatchEmbed = conv p x p stride p) + frozen pos embed
-        tokens = nn.Conv(self.hidden_size, (p, p), strides=p, padding=0,
-                         dtype=self.dtype, name="x_embedder__proj")(x)
-        tokens = tokens.reshape(b, num_patches, self.hidden_size)
+        tokens = self.x_proj(x).reshape(b, grid * grid, self.hidden_size)
         # frozen sin/cos table — a jit-time constant, not a learned variable
         pos = jnp.asarray(get_2d_sincos_pos_embed(self.hidden_size, grid)[None], jnp.float32)
         tokens = tokens + pos.astype(tokens.dtype)
 
         # timestep + label conditioning
         te = timestep_embedding(t, 256)
-        te = nn.Dense(self.hidden_size, name="t_embedder__mlp__0")(te)
-        te = nn.Dense(self.hidden_size, name="t_embedder__mlp__2")(jax.nn.silu(te))
+        te = self.t_mlp2(jax.nn.silu(self.t_mlp0(te)))
         if train and self.class_dropout_prob > 0 and force_drop_rng is not None:
             drop = jax.random.bernoulli(force_drop_rng, self.class_dropout_prob, (b,))
             y = jnp.where(drop, self.num_classes, y)
-        n_rows = self.num_classes + (1 if self.class_dropout_prob > 0 else 0)
-        ye = nn.Embed(n_rows, self.hidden_size, name="y_embedder__embedding_table")(
-            jnp.asarray(y, jnp.int32))
-        c = te + ye
+        ye = self.y_table(jnp.asarray(y, jnp.int32))
+        return tokens, te + ye
 
-        for i in range(self.depth):
-            blk = DiTBlock(self.num_heads, self.mlp_ratio, dtype=self.dtype,
-                           name=f"blocks__{i}")
+    def head(self, tokens: Array, c: Array) -> Array:
+        """FinalLayer + unpatchify -> NHWC."""
+        b = tokens.shape[0]
+        p = self.patch_size
+        grid = self.input_size // p
+        tokens = self.final(tokens, c)
+        out = tokens.reshape(b, grid, grid, p, p, self.out_channels)
+        return jnp.einsum("nhwpqc->nhpwqc", out).reshape(
+            b, grid * p, grid * p, self.out_channels)
+
+    def __call__(self, x: Array, t: Array, y: Optional[Array] = None, *, train: bool = False,
+                 force_drop_rng: Optional[Array] = None) -> Array:
+        tokens, c = self.embed(x, t, y, train=train, force_drop_rng=force_drop_rng)
+        for blk in self.blocks:
             if self.use_checkpoint:
                 tokens = nn.remat(lambda m, a, b: m(a, b))(blk, tokens, c)
             else:
                 tokens = blk(tokens, c)
-        tokens = FinalLayer(p, self.out_channels, dtype=self.dtype, name="final_layer")(tokens, c)
-
-        # unpatchify -> NHWC
-        out = tokens.reshape(b, grid, grid, p, p, self.out_channels)
-        out = jnp.einsum("nhwpqc->nhpwqc", out).reshape(b, grid * p, grid * p, self.out_channels)
-        return out
+        return self.head(tokens, c)
 
     def forward_with_cfg(self, x: Array, t: Array, y: Array, cfg_scale: float) -> Array:
         """(reference: models/dit/model.py:254-270) — guidance on first 3 channels."""

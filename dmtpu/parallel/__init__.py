@@ -8,6 +8,7 @@ from dmtpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from dmtpu.parallel.pp import dit_pipeline_forward, pipeline_apply, stack_block_params
 from dmtpu.parallel.sp import sp_attention
 from dmtpu.parallel.tp import shard_params_tp, tp_param_sharding
 from dmtpu.parallel.train import (
@@ -32,4 +33,7 @@ __all__ = [
     "tp_param_sharding",
     "shard_params_tp",
     "sp_attention",
+    "pipeline_apply",
+    "stack_block_params",
+    "dit_pipeline_forward",
 ]

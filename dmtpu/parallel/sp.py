@@ -40,7 +40,6 @@ def _ring_attention_local(q: Array, k: Array, v: Array, axis_name: str,
                           scale: float) -> Array:
     """Per-shard body under shard_map: q/k/v are local [B, S/n, H, D]."""
     n = lax.psum(1, axis_name)
-    idx = lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     qf = q.astype(jnp.float32)
@@ -69,8 +68,8 @@ def _ring_attention_local(q: Array, k: Array, v: Array, axis_name: str,
     m0 = jnp.full((b, h, sq), -jnp.inf, jnp.float32)
     l0 = jnp.zeros((b, h, sq), jnp.float32)
     o0 = jnp.zeros((b, h, sq, d), jnp.float32)
+    # non-causal: every chunk contributes fully, visit order irrelevant
     (_, _, (m, l, o)), _ = lax.scan(body, (k, v, (m0, l0, o0)), None, length=n)
-    del idx  # non-causal: every chunk contributes fully, order irrelevant
     out = o / l[..., None]
     return out.transpose(0, 2, 1, 3).astype(q.dtype)
 
