@@ -27,7 +27,7 @@ V5E_PEAK_TFLOPS = 197.0
 
 
 def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
-                    fwd_gflops=None, ema=False):
+                    fwd_gflops=None, ema=False, ema_dtype=None):
     diffuser = DDPM(total_steps=1000)
     loss_fn = make_diffusion_loss_fn(diffuser, model_apply, total_steps=1000)
     step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
@@ -35,7 +35,8 @@ def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
     rng = jax.random.PRNGKey(0)
     params = jax.jit(init_fn)(rng)
     n_params = sum(int(p.size) for p in jax.tree.leaves(params))
-    state = TrainState.create(params, tx, ema_decay=0.9999 if ema else None)
+    state = TrainState.create(params, tx, ema_decay=0.9999 if ema else None,
+                              ema_dtype=ema_dtype)
     batch = {k: jax.random.normal(jax.random.fold_in(rng, i), shape)
              for i, (k, shape) in enumerate(batch_shapes.items())}
     bsz = batch["image"].shape[0]
@@ -66,7 +67,7 @@ def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
     return out
 
 
-def sd15(batch, remat=True, ema=False):
+def sd15(batch, remat=True, ema=False, ema_dtype=None):
     from northstar import SD15_GFLOPS_PER_STEP
     from dmtpu.models.stablediffusion.unet import SDUNetModel
 
@@ -87,8 +88,9 @@ def sd15(batch, remat=True, ema=False):
         apply_fn, init_fn,
         {"image": (batch, 64, 64, 4), "context": (batch, 77, 768)},
         optim_lib.adafactor(lr=1e-4),
-        f"sd15_train_b{batch}" + ("" if remat else "_noremat") + ("_ema" if ema else ""),
-        fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema)
+        f"sd15_train_b{batch}" + ("" if remat else "_noremat")
+        + ("_ema" if ema else "") + ("16" if ema and ema_dtype else ""),
+        fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema, ema_dtype=ema_dtype)
 
 
 def sd15_lora(batch, rank=16, ema=True, remat=True):
@@ -298,3 +300,13 @@ if __name__ == "__main__":
         sd15_lora(16)
     if which == "lora8nr":
         sd15_lora(8, remat=False)
+    if which == "lora16nr":
+        sd15_lora(16, remat=False)
+    if which == "lora12nr":
+        sd15_lora(12, remat=False)
+    if which == "sd8ema16":
+        sd15(8, remat=True, ema=True, ema_dtype="bfloat16")
+    if which == "sd8nrema16":
+        sd15(8, remat=False, ema=True, ema_dtype="bfloat16")
+    if which == "sd16ema16":
+        sd15(16, remat=True, ema=True, ema_dtype="bfloat16")

@@ -24,9 +24,22 @@ class EMAState:
     gradual: bool = struct.field(pytree_node=False, default=True)
 
     @classmethod
-    def create(cls, params: Params, decay: float = 0.9999, gradual: bool = True) -> "EMAState":
+    def create(cls, params: Params, decay: float = 0.9999, gradual: bool = True,
+               dtype: Any = None) -> "EMAState":
+        """``dtype`` (e.g. ``jnp.bfloat16`` or ``"bfloat16"``) stores the
+        shadow in that dtype — halves EMA HBM for f32 params (the +3.4 GB
+        that pushes single-chip SD1.5 EMA fine-tuning past 16 GB,
+        docs/ROADMAP.md).  Caveat: near convergence, per-step EMA increments
+        of relative size (1-decay)·|p-s|/|s| below bf16's ~2^-8 resolution
+        round away, so a bf16 shadow tracks long slow-decay averages more
+        coarsely than f32 — appropriate for fine-tunes, not the default."""
+        if isinstance(dtype, str):
+            dtype = jnp.dtype(dtype)
+        cast = ((lambda p: jnp.asarray(p, dtype)
+                 if jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating) else jnp.asarray(p))
+                if dtype is not None else jnp.asarray)
         return cls(
-            shadow=jax.tree.map(jnp.asarray, params),
+            shadow=jax.tree.map(cast, params),
             num_updates=jnp.zeros((), jnp.int32),
             decay=decay,
             gradual=gradual,

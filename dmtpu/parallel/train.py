@@ -38,12 +38,16 @@ class TrainState:
         tx: optax.GradientTransformation,
         ema_decay: Optional[float] = 0.9999,
         ema_gradual: bool = True,
+        ema_dtype: Any = None,
     ) -> "TrainState":
+        """``ema_dtype="bfloat16"`` halves the EMA shadow's HBM (see
+        ``EMAState.create`` for the resolution caveat)."""
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=tx.init(params),
-            ema=EMAState.create(params, ema_decay, ema_gradual) if ema_decay is not None else None,
+            ema=(EMAState.create(params, ema_decay, ema_gradual, dtype=ema_dtype)
+                 if ema_decay is not None else None),
         )
 
 

@@ -16,9 +16,19 @@ def get_logger(
     """(reference: utils/logger.py:8-37; non-main processes log at ERROR)"""
     logger = logging.getLogger(name)
     # check THIS logger's handlers only: jax/absl attach handlers to the root
-    # logger, which would make hasHandlers() return True and skip setup
+    # logger, which would make hasHandlers() return True and skip setup.
+    # A SECOND run in the same process (scripts invoked in-process, as the
+    # test suite does) must not reuse the previous run's FileHandler: reuse
+    # the cached logger only if it already writes the requested log_file.
+    want = os.path.abspath(log_file) if (is_main_process and log_file) else None
     if logger.handlers:
-        return logger
+        have = [h.baseFilename for h in logger.handlers
+                if isinstance(h, logging.FileHandler)]
+        if want is None or want in have:
+            return logger
+        for h in list(logger.handlers):
+            h.close()
+            logger.removeHandler(h)
     logger.propagate = False
     handlers: list[logging.Handler] = [logging.StreamHandler()]
     if is_main_process and log_file is not None:

@@ -128,7 +128,8 @@ def main():
     logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
 
     state = TrainState.create(params, tx, ema_decay=conf.train.ema_decay,
-                              ema_gradual=conf.train.get("ema_gradual", True))
+                              ema_gradual=conf.train.get("ema_gradual", True),
+                              ema_dtype=conf.train.get("ema_dtype"))
     step = 0
     if args.resume is not None:
         path = find_resume_checkpoint(exp_dir, args.resume)

@@ -205,7 +205,8 @@ def main():
         return diffuser.loss_func(model_fn, z0, t, rng=k_eps)
 
     state = TrainState.create(trainable, tx, ema_decay=conf.train.ema_decay,
-                              ema_gradual=conf.train.get("ema_gradual", True))
+                              ema_gradual=conf.train.get("ema_gradual", True),
+                              ema_dtype=conf.train.get("ema_dtype"))
     step = 0
     if args.resume is not None:
         path = find_resume_checkpoint(exp_dir, args.resume)

@@ -100,6 +100,32 @@ def test_ema_gradual_decay():
     np.testing.assert_allclose(float(ema.shadow["w"]), expect, rtol=1e-6)
 
 
+def test_ema_bf16_shadow():
+    """``dtype='bfloat16'`` halves the shadow's HBM: float leaves are stored
+    bf16 (non-float leaves untouched), the update arithmetic still runs in
+    f32 (params dtype) and tracks the f32 EMA within bf16 resolution, and
+    the TrainState plumbing passes ``ema_dtype`` through."""
+    from dmtpu.parallel import TrainState
+
+    params = {"w": jnp.full((4,), 0.5, jnp.float32), "idx": jnp.arange(3)}
+    ema16 = EMAState.create(params, decay=0.9, gradual=False, dtype="bfloat16")
+    ema32 = EMAState.create(params, decay=0.9, gradual=False)
+    assert ema16.shadow["w"].dtype == jnp.bfloat16
+    assert ema16.shadow["idx"].dtype == params["idx"].dtype
+    for step in range(3):
+        newp = {"w": jnp.full((4,), 1.0 + step, jnp.float32), "idx": jnp.arange(3)}
+        ema16, ema32 = ema16.update(newp), ema32.update(newp)
+    assert ema16.shadow["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(ema16.shadow["w"], np.float32),
+                               np.asarray(ema32.shadow["w"]), rtol=1e-2)
+
+    import optax
+
+    st = TrainState.create({"w": jnp.ones((2,))}, optax.sgd(0.1),
+                           ema_decay=0.999, ema_dtype="bfloat16")
+    assert st.ema.shadow["w"].dtype == jnp.bfloat16
+
+
 def test_attention_block_matches_naive():
     """ops.mha equals an explicit softmax attention computation."""
     from dmtpu.ops import mha

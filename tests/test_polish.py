@@ -100,3 +100,19 @@ def test_lr_fn_layouts():
     assert lr_fn({"target": "utils.optim.adamw", "params": {}})(0) == 1e-3
     # unknown layout: NaN, not a plausible-looking constant
     assert math.isnan(lr_fn({"target": "optax.adam", "params": {"alpha": 0.1}})(0))
+
+
+def test_get_logger_second_run_gets_fresh_file(tmp_path):
+    """Scripts invoked twice in ONE process (resume runs, the test suite)
+    must each get a working FileHandler — the name-cached logger used to
+    return the FIRST run's handler and silently drop the second log file."""
+    from dmtpu.utils.logger import get_logger
+
+    f1, f2 = str(tmp_path / "a.log"), str(tmp_path / "b.log")
+    get_logger(log_file=f1).info("first-run-line")
+    get_logger(log_file=f2).info("second-run-line")
+    assert "first-run-line" in open(f1).read()
+    assert "second-run-line" in open(f2).read()
+    # same-file repeat call still reuses the cached logger (no handler pileup)
+    lg = get_logger(log_file=f2)
+    assert sum(1 for h in lg.handlers) == 2  # one stream + one file
