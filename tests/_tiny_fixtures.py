@@ -116,7 +116,8 @@ def tiny_sd_train_config(path, tokenizer_dir, lora=None):
                                  "objective": "pred_eps"}},
         "train": {"n_steps": 3, "batch_size": 8, "micro_batch": 0,
                   "p_uncond": 0.25, "clip_grad_norm": 1.0,
-                  "ema_decay": 0.99, "print_freq": 1, "save_freq": 2,
+                  "ema_decay": 0.99, "ema_dtype": "bfloat16",  # the sd15_finetune.yaml default path
+                  "print_freq": 1, "save_freq": 2,
                   "sample_freq": 2, "sample_guidance_scale": 3.0,
                   "sample_respace_steps": 4, "sample_prompts": ["a cat"],
                   "optim": {"target": "dmtpu.utils.optim.adafactor",

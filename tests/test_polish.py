@@ -116,3 +116,32 @@ def test_get_logger_second_run_gets_fresh_file(tmp_path):
     # same-file repeat call still reuses the cached logger (no handler pileup)
     lg = get_logger(log_file=f2)
     assert sum(1 for h in lg.handlers) == 2  # one stream + one file
+
+
+def test_all_shipped_configs_instantiate():
+    """Config-rot guard: every configs/*.yaml's model / diffusion / optimizer
+    targets resolve and construct (module objects only — no params), and the
+    train block carries the keys the scripts read."""
+    import glob
+    import os
+
+    from dmtpu.utils.config import instantiate_from_config, load_config
+    from dmtpu.utils.optim import lr_fn
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "*.yaml")))
+    assert len(paths) >= 7
+    for p in paths:
+        conf = load_config(p)
+        assert instantiate_from_config(conf.model) is not None, p
+        assert instantiate_from_config(conf.diffusion) is not None, p
+        tr = conf.train
+        assert instantiate_from_config(tr.optim) is not None, p
+        assert float(lr_fn(tr.optim)(0)) == float(lr_fn(tr.optim)(0)), p  # not NaN
+        for key in ("n_steps", "batch_size", "ema_decay", "print_freq",
+                    "save_freq", "clip_grad_norm"):
+            assert key in tr, (p, key)
+        if "ema_dtype" in tr and tr.ema_dtype is not None:
+            import jax.numpy as jnp
+
+            jnp.dtype(tr.ema_dtype)  # resolvable dtype string
