@@ -67,6 +67,7 @@ def pipeline_apply(
     mesh: Mesh,
     axis: str = FSDP_AXIS,
     n_microbatches: Optional[int] = None,
+    dp_axis: Optional[str] = None,
 ) -> Array:
     """Run ``x`` through the stacked block pipeline; returns same-shape out.
 
@@ -76,7 +77,14 @@ def pipeline_apply(
     per-sample conditioning handed to every block (replicated).
     ``block_fn(layer_params, h, cond) -> h`` applies ONE block.
     ``n_microbatches`` defaults to the stage count (B % M == 0 required).
+
+    ``dp_axis`` composes data parallelism with the pipeline (dp × pp in the
+    ONE shard_map): each microbatch is additionally sharded over that mesh
+    axis, so every ``data`` row runs its own pipeline over the ``axis``
+    rows — batch must then divide microbatches × dp size.
     """
+    if dp_axis == axis:
+        raise ValueError("dp_axis must differ from the pipeline stage axis")
     n_stages = mesh.shape[axis]
     batch = x.shape[0]
     m = n_microbatches or n_stages
@@ -87,13 +95,17 @@ def pipeline_apply(
         raise ValueError(f"{layers} layers not divisible by {n_stages} stages")
 
     mb = batch // m
+    if dp_axis is not None and mb % mesh.shape[dp_axis] != 0:
+        raise ValueError(
+            f"microbatch {mb} not divisible by mesh axis '{dp_axis}'="
+            f"{mesh.shape[dp_axis]}")
     xs = x.reshape((m, mb) + x.shape[1:])
     cs = cond.reshape((m, mb) + cond.shape[1:])
 
     stage_spec = jax.tree.map(lambda _: P(axis), stacked)
     stacked = jax.device_put(
         stacked, jax.tree.map(lambda s: NamedSharding(mesh, s), stage_spec))
-    rep = P()
+    rep = P(None, dp_axis) if dp_axis is not None else P()
 
     def local(stk: Any, xs_: Array, cs_: Array) -> Array:
         s = lax.axis_index(axis)
@@ -140,12 +152,14 @@ def pipeline_apply(
 
 def dit_pipeline_forward(model, params, x: Array, t: Array, y=None, *,
                          mesh: Mesh, axis: str = FSDP_AXIS,
-                         n_microbatches: Optional[int] = None) -> Array:
+                         n_microbatches: Optional[int] = None,
+                         dp_axis: Optional[str] = None) -> Array:
     """DiT forward with its 28-block torso pipelined over ``axis``.
 
     Numerically identical to ``model.apply(params, x, t, y)`` — the
     embed/head seams run replicated, the block stack streams through the
-    GPipe schedule above.
+    GPipe schedule above.  ``dp_axis`` additionally shards each microbatch
+    over that mesh axis (dp × pp).
     """
     from dmtpu.models.dit import DiT, DiTBlock
 
@@ -157,5 +171,5 @@ def dit_pipeline_forward(model, params, x: Array, t: Array, y=None, *,
         return blk.apply({"params": layer_params}, h, cc)
 
     tokens = pipeline_apply(stacked, tokens, c, block_fn, mesh, axis=axis,
-                            n_microbatches=n_microbatches)
+                            n_microbatches=n_microbatches, dp_axis=dp_axis)
     return model.apply(rest, tokens, c, method=DiT.head)

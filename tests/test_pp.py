@@ -56,6 +56,33 @@ def test_pipeline_matches_plain_forward(tiny_dit, fsdp, mb):
                                atol=5e-6, rtol=1e-5)
 
 
+def test_pipeline_dp_composition(tiny_dit):
+    """dp × pp in one shard_map: microbatches sharded over 'data' while the
+    block stack streams over 'fsdp' — numerics and grads == plain forward."""
+    m, p, (x, t, y) = tiny_dit
+    mesh = _mesh(4)  # data=2, fsdp=4
+    assert mesh.shape["data"] == 2
+    want = m.apply(p, x, t, y)
+    got = dit_pipeline_forward(m, p, x, t, y, mesh=mesh, n_microbatches=2,
+                               dp_axis="data")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-6, rtol=1e-5)
+
+    def loss_pp(pp_):
+        return jnp.mean(dit_pipeline_forward(m, pp_, x, t, y, mesh=mesh,
+                                             n_microbatches=2,
+                                             dp_axis="data") ** 2)
+
+    g_pp = jax.device_get(jax.jit(jax.grad(loss_pp))(p))
+    g_ref = jax.device_get(jax.jit(jax.grad(
+        lambda pp_: jnp.mean(m.apply(pp_, x, t, y) ** 2)))(p))
+    for a, b in zip(jax.tree.leaves(g_pp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)
+
+    with pytest.raises(ValueError, match="must differ"):
+        dit_pipeline_forward(m, p, x, t, y, mesh=mesh, dp_axis="fsdp")
+
+
 def test_pipeline_gradients_match_plain(tiny_dit):
     """jax.grad through the GPipe schedule == grads of the plain forward."""
     m, p, (x, t, y) = tiny_dit
