@@ -62,10 +62,15 @@ def main():
     sdxl_sps, _ = time_ddim50(sdxl_init, sdxl_apply, latent_hw=128,
                               batch=SDXL_BATCH, ctx_dim=2048)
 
-    from train_northstar import dit_train_metrics, sd15_train_metrics
+    from train_northstar import (
+        dit_train_metrics,
+        sd15_lora_train_metrics,
+        sd15_train_metrics,
+    )
 
     train_extra = {}
     train_extra.update(sd15_train_metrics(batch=SD_TRAIN_BATCH))
+    train_extra.update(sd15_lora_train_metrics())
     train_extra.update(dit_train_metrics(batch=DIT_TRAIN_BATCH))
 
     print(json.dumps({

@@ -91,6 +91,59 @@ def sd15_train_metrics(batch: int = 8, reps: int = 3) -> dict:
     }
 
 
+def sd15_lora_train_metrics(batch: int = 8, rank: int = 16, reps: int = 3) -> dict:
+    """LoRA fine-tune step (frozen base UNet as a jit argument, rank-r
+    adapters + their EMA trainable — dmtpu/models/lora.py).  Measured-best
+    single-chip config: NO remat (the adapter state is small enough that
+    activations fit un-rematerialised; docs/ROADMAP.md LoRA table)."""
+    from dmtpu.diffusions import DDPM
+    from dmtpu.models.lora import apply_lora, init_lora
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+    from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step
+    from dmtpu.utils import optim as optim_lib
+
+    model = SDUNetModel(
+        in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
+        attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
+        use_spatial_transformer=True, transformer_depth=1, context_dim=768,
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=False)
+
+    rng = jax.random.PRNGKey(0)
+    base = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 64, 64, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768))))(rng)
+    lora0 = init_lora(base, jax.random.fold_in(rng, 7), rank=rank)
+    diffuser = DDPM(total_steps=1000)
+
+    def loss_fn(lora, batch_d, key, frozen):
+        merged = apply_lora(frozen, lora, 1.0)
+
+        def apply_fn(p, x, t, rngs=None, context=None, **kw):
+            return model.apply(p, x, t, context)
+
+        return make_diffusion_loss_fn(diffuser, apply_fn, total_steps=1000)(
+            merged, batch_d, key)
+
+    tx = optim_lib.adamw(lr=1e-4)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0, n_extra_args=1)
+    state = TrainState.create(lora0, tx, ema_decay=0.9999)
+    batch_d = {"image": jax.random.normal(rng, (batch, 64, 64, 4)),
+               "context": jax.random.normal(jax.random.fold_in(rng, 1),
+                                            (batch, 77, 768))}
+    sfn = lambda st, b, r: step_fn(st, b, r, base)  # noqa: E731
+    dt = _time_step(sfn, state, batch_d, rng, reps)
+    ips = batch / dt
+    return {
+        "sd15_lora_train_imgs_per_sec": round(ips, 3),
+        "sd15_lora_train_batch": batch,
+        "sd15_lora_rank": rank,
+        "sd15_lora_train_mfu_v5e": round(
+            ips * 3.0 * SD15_GFLOPS_PER_STEP / (V5E_PEAK_TFLOPS * 1e3), 3),
+        "sd15_lora_trainable_m": round(
+            sum(int(p.size) for p in jax.tree.leaves(lora0)) / 1e6, 2),
+    }
+
+
 def dit_train_metrics(batch: int = 32, reps: int = 3) -> dict:
     """No-remat + adafactor: the measured-fastest single-chip config."""
     from dmtpu.diffusions import DDPM
