@@ -248,10 +248,14 @@ class InceptionFeatureExtractor:
         np = self._np
         # cache the last sweep by input identity: __call__ followed by
         # classify on the same array (the natural FID-then-IS pattern) must
-        # not run the network twice.  The cache holds the array OBJECT (not
-        # its id) — keeping it alive makes id-reuse after GC impossible.
-        cached_arr, cached = getattr(self, "_sweep_cache", (None, None))
-        if cached_arr is images_u8:
+        # not run the network twice.  A WEAK reference is held: identity
+        # comparison stays safe against id-reuse (the weakref dies with the
+        # array, so a dead entry can never match a new object) without
+        # pinning a multi-GB image set in host RAM after the caller drops it.
+        import weakref
+
+        cached_ref, cached = getattr(self, "_sweep_cache", (None, None))
+        if cached_ref is not None and cached_ref() is images_u8:
             return cached
         feats, probs = [], []
         for i in range(0, len(images_u8), self.batch_size):
@@ -260,7 +264,10 @@ class InceptionFeatureExtractor:
             feats.append(np.asarray(f))
             probs.append(np.asarray(p))
         out = (np.concatenate(feats), np.concatenate(probs))
-        self._sweep_cache = (images_u8, out)
+        try:
+            self._sweep_cache = (weakref.ref(images_u8), out)
+        except TypeError:  # object without weakref support (e.g. a list)
+            self._sweep_cache = (lambda a=images_u8: a, out)
         return out
 
     def features_and_probs(self, images_u8):

@@ -164,6 +164,13 @@ class DiT(nn.Module):
         p = self.patch_size
         grid = self.input_size // p
         if y is None:
+            if self.class_dropout_prob <= 0:
+                # the embedding table only has a null row (index num_classes)
+                # when CFG dropout is configured; without it an XLA gather
+                # would silently CLAMP to the last real class
+                raise ValueError(
+                    "unconditional forward (y=None) needs the null-label row: "
+                    "construct DiT with class_dropout_prob > 0")
             y = jnp.full((b,), self.num_classes, jnp.int32)
 
         # patchify (timm PatchEmbed = conv p x p stride p) + frozen pos embed

@@ -153,18 +153,27 @@ def pipeline_apply(
 def dit_pipeline_forward(model, params, x: Array, t: Array, y=None, *,
                          mesh: Mesh, axis: str = FSDP_AXIS,
                          n_microbatches: Optional[int] = None,
-                         dp_axis: Optional[str] = None) -> Array:
+                         dp_axis: Optional[str] = None,
+                         stacked: Any = None, rest: Any = None) -> Array:
     """DiT forward with its 28-block torso pipelined over ``axis``.
 
     Numerically identical to ``model.apply(params, x, t, y)`` — the
     embed/head seams run replicated, the block stack streams through the
     GPipe schedule above.  ``dp_axis`` additionally shards each microbatch
     over that mesh axis (dp × pp).
+
+    When called repeatedly OUTSIDE one enclosing jit (e.g. a per-step
+    sampling loop), pass ``stacked``/``rest`` from one up-front
+    ``stack_block_params(params)`` call — otherwise every invocation
+    re-stacks (copies) the whole torso and re-places it on the mesh.
+    Inside a jit the per-call stack is traced once and fused, so the
+    default is fine there.
     """
     from dmtpu.models.dit import DiT, DiTBlock
 
-    tokens, c = model.apply(params, x, t, y, method=DiT.embed)
-    stacked, rest, _ = stack_block_params(params)
+    if stacked is None:
+        stacked, rest, _ = stack_block_params(params)
+    tokens, c = model.apply(rest, x, t, y, method=DiT.embed)
     blk = DiTBlock(model.num_heads, model.mlp_ratio, dtype=model.dtype)
 
     def block_fn(layer_params, h, cc):

@@ -24,7 +24,10 @@ def get_logger(
     if logger.handlers:
         have = [h.baseFilename for h in logger.handlers
                 if isinstance(h, logging.FileHandler)]
-        if want is None or want in have:
+        # reuse only if the cached handlers match THIS request: same file,
+        # or no file requested AND none attached (a want-None caller must
+        # not keep appending to a previous run's log file)
+        if (want in have) if want is not None else (not have):
             return logger
         for h in list(logger.handlers):
             h.close()

@@ -93,7 +93,12 @@ def adafactor(lr=None, min_dim_size_to_factor: int = 128, decay_rate: float = 0.
     ``{target:, params:}`` schedule like the other factories here.
     """
     lr = _resolve_lr(lr) if lr is not None else None
-    tx = optax.adafactor(
+    # weight decay uses optax.adafactor's native DECOUPLED weight_decay_rate
+    # (AdamW-style, like the sibling adamw factory) — chaining
+    # add_decayed_weights BEFORE adafactor would feed the decay term into
+    # the factored second-moment statistics and the update clipping,
+    # distorting both.
+    return optax.adafactor(
         learning_rate=lr,
         min_dim_size_to_factor=min_dim_size_to_factor,
         decay_rate=decay_rate,
@@ -101,11 +106,9 @@ def adafactor(lr=None, min_dim_size_to_factor: int = 128, decay_rate: float = 0.
         dtype_momentum=_dtype(momentum_dtype) or "bfloat16",
         clipping_threshold=clipping_threshold,
         multiply_by_parameter_scale=multiply_by_parameter_scale,
+        weight_decay_rate=weight_decay or None,
         eps=eps,
     )
-    if weight_decay:
-        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
-    return tx
 
 
 def sgd(lr, momentum: float = 0.0, weight_decay: float = 0.0, nesterov: bool = False):

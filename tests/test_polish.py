@@ -145,3 +145,91 @@ def test_all_shipped_configs_instantiate():
             import jax.numpy as jnp
 
             jnp.dtype(tr.ema_dtype)  # resolvable dtype string
+
+
+def test_get_logger_no_file_request_drops_old_file_handler(tmp_path):
+    """A want-None call (no log_file, or non-main) after a file run must not
+    keep appending to the previous run's file."""
+    import logging
+
+    from dmtpu.utils.logger import get_logger
+
+    f1 = str(tmp_path / "a.log")
+    get_logger(log_file=f1).info("first")
+    lg = get_logger()  # no file requested
+    assert not any(isinstance(h, logging.FileHandler) for h in lg.handlers)
+    lg.info("should-not-reach-file")
+    assert "should-not-reach-file" not in open(f1).read()
+
+
+def test_dit_unconditional_requires_null_row():
+    """y=None with class_dropout_prob=0 must raise (the embedding table has
+    no null row; XLA would silently clamp to the last real class)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmtpu.models.dit import dit_model
+
+    x = jnp.zeros((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    m0 = dit_model("DiT-S/2", input_size=8, num_classes=10,
+                   class_dropout_prob=0.0)
+    with pytest.raises(ValueError, match="null-label row"):
+        m0.init(jax.random.PRNGKey(0), x, t, None)
+    # with dropout configured the null row exists and y=None works
+    m1 = dit_model("DiT-S/2", input_size=8, num_classes=10,
+                   class_dropout_prob=0.1)
+    p = m1.init(jax.random.PRNGKey(0), x, t, None)
+    assert jnp.all(jnp.isfinite(m1.apply(p, x, t, None)))
+
+
+def test_adafactor_weight_decay_is_decoupled():
+    """weight_decay must be optax.adafactor's native decoupled form — NOT
+    add_decayed_weights chained before it (which would distort the factored
+    second-moment statistics and be rescaled by the update clipping)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dmtpu.utils.optim import adafactor
+
+    params = {"w": jnp.full((4, 4), 2.0)}
+    grads = {"w": jnp.full((4, 4), 0.1)}
+    tx = adafactor(lr=1e-3, weight_decay=0.01)
+    ref = optax.adafactor(learning_rate=1e-3, weight_decay_rate=0.01,
+                          multiply_by_parameter_scale=False,
+                          dtype_momentum=jnp.bfloat16)
+    u, _ = tx.update(grads, tx.init(params), params)
+    u_ref, _ = ref.update(grads, ref.init(params), params)
+    assert float(jnp.abs(u["w"] - u_ref["w"]).max()) < 1e-7
+    # and the decay actually pulls params toward zero relative to wd=0
+    tx0 = adafactor(lr=1e-3, weight_decay=0.0)
+    u0, _ = tx0.update(grads, tx0.init(params), params)
+    assert float((u["w"] - u0["w"]).max()) < 0.0  # extra negative term ∝ +w
+
+
+def test_inception_sweep_cache_does_not_pin_images():
+    """The sweep cache must hold a WEAK reference: identity caching works
+    while the caller keeps the array, but the cache must not keep a
+    multi-GB image set alive after the caller drops it."""
+    import gc
+    import weakref
+
+    import numpy as np
+
+    from dmtpu.eval.inception import InceptionFeatureExtractor
+
+    ex = InceptionFeatureExtractor.__new__(InceptionFeatureExtractor)
+    ex.batch_size = 4
+    ex._np = np
+    ex.variables = None
+    calls = []
+    ex._run = lambda v, b: (np.zeros((len(b), 3), np.float32),
+                            np.zeros((len(b), 5), np.float32))
+    imgs = np.zeros((4, 8, 8, 3), np.uint8)
+    out1 = ex._batched(imgs)
+    assert ex._batched(imgs) is out1  # identity-cached while alive
+    ref = weakref.ref(imgs)
+    del imgs
+    gc.collect()
+    assert ref() is None  # the cache did not pin the array
