@@ -88,7 +88,9 @@ def sd15(batch, remat=True, ema=False, ema_dtype=None):
         apply_fn, init_fn,
         {"image": (batch, 64, 64, 4), "context": (batch, 77, 768)},
         optim_lib.adafactor(lr=1e-4),
-        f"sd15_train_b{batch}" + ("" if remat else "_noremat")
+        f"sd15_train_b{batch}"
+        + (f"_remat-{remat}" if isinstance(remat, str)
+           else ("" if remat else "_noremat"))
         + ("_ema" if ema else "") + ("16" if ema and ema_dtype else ""),
         fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema, ema_dtype=ema_dtype)
 
@@ -251,7 +253,9 @@ def dit(batch, opt="adamw_bf16mu", remat=True):
     dt = min(times)
     model_tf_per_img = 3.0 * DIT_XL2_GFLOPS_PER_STEP / 1e3
     print(json.dumps({
-        "label": f"dit_train_b{batch}_{opt}" + ("" if remat else "_noremat"),
+        "label": f"dit_train_b{batch}_{opt}"
+        + (f"_remat-{remat}" if isinstance(remat, str)
+           else ("" if remat else "_noremat")),
         "batch": batch,
         "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
         "imgs_per_sec": round(batch / dt, 3), "loss0": round(l0, 4),
@@ -310,3 +314,15 @@ if __name__ == "__main__":
         sd15(8, remat=False, ema=True, ema_dtype="bfloat16")
     if which == "sd16ema16":
         sd15(16, remat=True, ema=True, ema_dtype="bfloat16")
+    if which == "dit32dots":
+        dit(32, opt="adafactor", remat="dots")
+    if which == "dit48dots":
+        dit(48, opt="adafactor", remat="dots")
+    if which == "dit64dots":
+        dit(64, opt="adafactor", remat="dots")
+    if which == "sd16dots":
+        sd15(16, remat="dots")
+    if which == "sd16dotsema16":
+        sd15(16, remat="dots", ema=True, ema_dtype="bfloat16")
+    if which == "sd24dots":
+        sd15(24, remat="dots")

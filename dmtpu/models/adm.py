@@ -60,15 +60,17 @@ def _zeros_conv(features, kernel, name, strides=1, padding=1, dtype=None):
                    dtype=dtype, name=name)
 
 
-def remat_call(mod: nn.Module, *args, train: Optional[bool] = None):
+def remat_call(mod: nn.Module, *args, train: Optional[bool] = None, policy=None):
     """Gradient checkpointing: run the submodule under ``jax.checkpoint`` so
     its intermediates are recomputed in the backward pass instead of saved
     (reference: models/adm/nn.py:124-170).  Param tree and gradients are
     identical to the plain call; only peak memory changes.  ``train`` stays a
-    Python static via closure (it gates dropout determinism)."""
+    Python static via closure (it gates dropout determinism).  ``policy``
+    (a ``jax.checkpoint_policies`` callable, see dmtpu/ops/rematerialize.py)
+    selects SELECTIVE remat — save matmul outputs, recompute elementwise."""
     if train is None:
-        return nn.remat(lambda m, *a: m(*a))(mod, *args)
-    return nn.remat(lambda m, *a: m(*a, train=train))(mod, *args)
+        return nn.remat(lambda m, *a: m(*a), policy=policy)(mod, *args)
+    return nn.remat(lambda m, *a: m(*a, train=train), policy=policy)(mod, *args)
 
 
 def resolve_torso_dtype(torso_dtype, use_fp16: bool, use_bf16: bool = False):

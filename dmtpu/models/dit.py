@@ -133,7 +133,10 @@ class DiT(nn.Module):
     class_dropout_prob: float = 0.1
     num_classes: int = 1000
     learn_sigma: bool = True
-    use_checkpoint: bool = False  # jax.checkpoint each DiTBlock (training memory)
+    # jax.checkpoint each DiTBlock (training memory): True = full remat,
+    # or a policy name ("dots", ...) for selective remat
+    # (dmtpu/ops/rematerialize.py)
+    use_checkpoint: Any = False
     dtype: Any = None
 
     @property
@@ -200,10 +203,14 @@ class DiT(nn.Module):
 
     def __call__(self, x: Array, t: Array, y: Optional[Array] = None, *, train: bool = False,
                  force_drop_rng: Optional[Array] = None) -> Array:
+        from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
         tokens, c = self.embed(x, t, y, train=train, force_drop_rng=force_drop_rng)
+        ckpt, policy = normalize_use_checkpoint(self.use_checkpoint)
         for blk in self.blocks:
-            if self.use_checkpoint:
-                tokens = nn.remat(lambda m, a, b: m(a, b))(blk, tokens, c)
+            if ckpt:
+                tokens = nn.remat(lambda m, a, b: m(a, b), policy=policy)(
+                    blk, tokens, c)
             else:
                 tokens = blk(tokens, c)
         return self.head(tokens, c)

@@ -127,20 +127,25 @@ class SDUNetModel(nn.Module):
                     # training (remat on) differentiates the attention: the
                     # XLA S-by-S path would materialise f32 logits in the
                     # backward (8 GB at b16 S4096) -- prefer the flash kernel
-                    prefer_flash=self.use_checkpoint, dtype=dt, name=idx_name)
+                    prefer_flash=bool(self.use_checkpoint), dtype=dt, name=idx_name)
             return AttentionBlock(
                 heads_override or num_heads, dim_head, self.use_new_attention_order,
                 dtype=dt, name=idx_name)
 
-        ckpt = self.use_checkpoint
+        from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+        # True = full remat; a policy name string = selective remat
+        ckpt, policy = normalize_use_checkpoint(self.use_checkpoint)
 
         def res(rb: nn.Module, hh: Array) -> Array:
-            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+            return (remat_call(rb, hh, emb, train=train, policy=policy)
+                    if ckpt else rb(hh, emb, train=train))
 
         def att(ab: nn.Module, hh: Array) -> Array:
             if self.use_spatial_transformer:
-                return remat_call(ab, hh, context) if ckpt else ab(hh, context)
-            return remat_call(ab, hh) if ckpt else ab(hh)
+                return (remat_call(ab, hh, context, policy=policy)
+                        if ckpt else ab(hh, context))
+            return remat_call(ab, hh, policy=policy) if ckpt else ab(hh)
 
         h = nn.Conv(self.model_channels, (3, 3), padding=1, dtype=dt,
                     name="input_blocks__0__0")(x.astype(dt) if dt else x)

@@ -85,3 +85,37 @@ def test_use_fp16_maps_to_bf16_torso():
         params = model.init(jax.random.PRNGKey(0), x, t)
         hlo = jax.jit(model.apply).lower(params, x, t).as_text()
         assert "bf16" in hlo
+
+
+def test_selective_remat_policy_grads_identical():
+    """use_checkpoint='dots' (selective remat, dmtpu/ops/rematerialize.py)
+    gives bit-identical grads to no-remat on DiT and the SD UNet."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmtpu.models.dit import dit_model
+
+    x = jnp.ones((2, 8, 8, 4)) * 0.1
+    t = jnp.arange(2)
+    y = jnp.arange(2)
+    m_plain = dit_model("DiT-S/2", input_size=8, num_classes=10)
+    m_dots = dit_model("DiT-S/2", input_size=8, num_classes=10,
+                       use_checkpoint="dots")
+    p = m_plain.init(jax.random.PRNGKey(0), x, t, y)
+
+    g_plain = jax.jit(jax.grad(lambda pp: jnp.mean(m_plain.apply(pp, x, t, y) ** 2)))(p)
+    g_dots = jax.jit(jax.grad(lambda pp: jnp.mean(m_dots.apply(pp, x, t, y) ** 2)))(p)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_dots)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+    assert normalize_use_checkpoint(True) == (True, None)
+    assert normalize_use_checkpoint(False) == (False, None)
+    on, pol = normalize_use_checkpoint("dots")
+    assert on and pol is jax.checkpoint_policies.dots_saveable
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown checkpoint policy"):
+        normalize_use_checkpoint("bogus")
