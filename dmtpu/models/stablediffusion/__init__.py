@@ -83,6 +83,21 @@ class StableDiffusion:
         self.params = convert_sd_checkpoint(self, state_dict, text_encoder_sd)
         return self.params
 
+    def load_weights(self, path: str) -> Dict:
+        """Load SD params from any supported artifact: a CompVis-format
+        torch ``.ckpt``/``.safetensors`` (converted on the fly), or a
+        ``.npz`` holding the already-converted flax tree under ``params``
+        (what ``scripts/merge_lora.py`` writes after merging adapters —
+        reference: utils/load.py:7-19 for the torch dispatcher side)."""
+        if path.endswith(".npz"):
+            import numpy as np
+
+            self.params = np.load(path, allow_pickle=True)["params"].item()
+            return self.params
+        from dmtpu.convert import load_torch_weights
+
+        return self.load_state_dict(load_torch_weights(path))
+
     def init_params(self, rng: Array, img_size: int = 64) -> Dict:
         """Random-init params in the same ``{"unet","vae","text_encoder"}``
         layout ``load_state_dict`` produces — a checkpoint-free path for

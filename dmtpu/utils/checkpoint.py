@@ -48,6 +48,18 @@ def load_checkpoint(path: str, target: Any = None) -> Any:
                              restore_args=restore_args)
 
 
+def load_checkpoint_host(path: str) -> Any:
+    """Restore a checkpoint to HOST numpy arrays, ignoring the shardings it
+    was saved under — for offline tools (e.g. ``scripts/merge_lora.py``)
+    that must read a checkpoint written on a different device topology."""
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+        return ckptr.restore(path, restore_args=restore_args)
+
+
 def save_array_dict(path: str, arrays: dict) -> None:
     """Flat .npz export (portable model-only weights)."""
     np.savez(path, **{k: np.asarray(v) for k, v in arrays.items()})

@@ -120,9 +120,7 @@ def main():
     img_size = conf.data.params.img_size
     weights = conf.get("weights")
     if weights:
-        from dmtpu.convert import load_torch_weights
-
-        params = sd.load_state_dict(load_torch_weights(weights))
+        params = sd.load_weights(weights)  # torch ckpt, or merged-LoRA .npz
         logger.info(f"Loaded SD weights from {weights}")
     else:
         params = sd.init_params(jax.random.PRNGKey(conf.get("seed", 0)), img_size)

@@ -40,7 +40,8 @@ def load_sd():
 
         sd.text_encoder.tokenizer = CLIPTokenizer.from_pretrained(TOKENIZER)
     if WEIGHTS:
-        params = sd.load_state_dict(load_torch_weights(WEIGHTS))
+        # .ckpt/.safetensors (converted) or a merged-LoRA .npz
+        params = sd.load_weights(WEIGHTS)
     else:
         st.warning("DMTPU_SD_WEIGHTS not set — running with RANDOM weights (demo mode)")
         params = sd.init_params(jax.random.PRNGKey(0))

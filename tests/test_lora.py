@@ -124,3 +124,75 @@ def test_train_sd_lora_end_to_end(tmp_path):
     size = sum(os.path.getsize(os.path.join(r, f))
                for r, _, fs in os.walk(ckpt) for f in fs)
     assert size < 5e6, f"LoRA ckpt unexpectedly large: {size}"
+
+
+def test_merge_lora_cli(tmp_path):
+    """scripts/merge_lora.py: adapter checkpoint + base -> standalone .npz
+    that StableDiffusion.load_weights serves (the LoRA train->merge->serve
+    workflow end-to-end, tiny models)."""
+    import importlib.util
+    import sys
+
+    from tests._tiny_fixtures import make_tiny_clip_dir, tiny_sd_train_config
+
+    clip_dir = make_tiny_clip_dir(tmp_path / "clip")
+    cfg = tiny_sd_train_config(tmp_path / "conf.yaml", clip_dir,
+                               lora={"rank": 4, "alpha": 8})
+    exp = str(tmp_path / "exp")
+
+    def run(script, name, argv):
+        spec = importlib.util.spec_from_file_location(
+            name, os.path.join(REPO, "scripts", script))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        old = sys.argv
+        sys.argv = [script] + argv
+        try:
+            mod.main()
+        finally:
+            sys.argv = old
+
+    run("train_sd.py", "train_sd_cli_merge", ["-c", cfg, "-e", exp, "-ni"])
+    ckpt = os.path.join(exp, "ckpt", "step000002")
+    out = str(tmp_path / "merged.npz")
+    run("merge_lora.py", "merge_lora_cli", ["-c", cfg, "--lora", ckpt, "--out", out])
+    assert os.path.isfile(out)
+
+    from dmtpu.utils.config import instantiate_from_config, load_config
+
+    conf = load_config(cfg)
+    seed, img_size = conf.get("seed", 0), conf.data.params.img_size
+    sd = instantiate_from_config(conf.model)
+    merged = sd.load_weights(out)
+    assert set(merged) == {"unet", "vae", "text_encoder"}
+    base = instantiate_from_config(conf.model).init_params(
+        jax.random.PRNGKey(seed), img_size)
+    # the tiny demo UNet's zero-init output head kills every gradient, so
+    # the trained adapters keep B == 0 and the merge must be EXACTLY the
+    # identity — same-seed base reproduces the training run's random init
+    for a, b in zip(jax.tree.leaves(merged["unet"]), jax.tree.leaves(base["unet"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # non-trivial adapters: hand-build a checkpoint with B != 0 and check
+    # the merged result equals apply_lora's W + (alpha/rank) A @ B
+    from dmtpu.utils import checkpoint as ckpt_lib
+    from dmtpu.utils.optim import adamw
+
+    lora = init_lora(base["unet"], jax.random.PRNGKey(5), rank=4)
+    lora = jax.tree.map(lambda v: v + 0.1, lora)
+    from dmtpu.parallel import TrainState
+
+    st = TrainState.create(lora, adamw(1e-4), ema_decay=None)
+    ck2 = ckpt_lib.save_checkpoint(str(tmp_path / "ck2"), 1, st)
+    out2 = str(tmp_path / "merged2.npz")
+    run("merge_lora.py", "merge_lora_cli_2",
+        ["-c", cfg, "--lora", ck2, "--out", out2])
+    merged2 = instantiate_from_config(conf.model).load_weights(out2)
+    want = apply_lora(base["unet"], lora, lora_scale(4, 8))
+    for a, b in zip(jax.tree.leaves(merged2["unet"]), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # and the merged model runs
+    lat = img_size // 8
+    outp = sd.unet.apply(merged2["unet"], jnp.zeros((1, lat, lat, 4)),
+                         jnp.zeros((1,), jnp.int32), jnp.zeros((1, 5, 32)))
+    assert jnp.all(jnp.isfinite(outp))
