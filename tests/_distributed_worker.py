@@ -89,6 +89,35 @@ def main():
     restored = ckpt_lib.load_checkpoint(path, fresh)
     ckpt_diff = float(jnp.abs(restored.params["w"] - state.params["w"]).max())
 
+    # CROSS-PROCESS fsdp: shard params over ALL 4 global devices (2 per
+    # process) — the ZeRO axis spanning the process boundary: sharded train
+    # step + multi-process sharded checkpoint round-trip.
+    mesh_f = make_mesh(fsdp=nproc * len(jax.local_devices()))
+    params_f = {"w": jnp.arange(48, dtype=jnp.float32).reshape(16, 3) * 0.01}
+    state_f = shard_train_state(TrainState.create(params_f, tx, ema_decay=None),
+                                mesh_f)
+    w = state_f.params["w"]
+    fsdp_shard_shapes = sorted(
+        str(tuple(s.data.shape)) for s in w.addressable_shards)
+
+    def loss_fn_f(p, b, rng):
+        return jnp.mean((b @ p["w"]) ** 2)
+
+    # deterministic global batch [8, 16]: each process contributes its half
+    # through the SAME shard_batch path the train scripts use
+    bf_np = np.arange(8 * 16, dtype=np.float32).reshape(8, 16) * 0.01
+    bf = shard_batch(bf_np[pid * 4:(pid + 1) * 4], mesh_f)
+    step_f = make_train_step(loss_fn_f, tx, mesh=mesh_f)
+    state_f, metrics_f = step_f(state_f, bf, root)
+    fsdp_loss = float(metrics_f["loss"])
+    path_f = ckpt_lib.save_checkpoint(ckpt_dir + "_fsdp", 1, state_f)
+    fresh_f = shard_train_state(
+        TrainState.create({"w": jnp.zeros((16, 3))}, tx, ema_decay=None), mesh_f)
+    restored_f = ckpt_lib.load_checkpoint(path_f, fresh_f)
+    fsdp_ckpt_diff = float(jax.jit(
+        lambda a, b: jnp.abs(a - b).max())(restored_f.params["w"],
+                                           state_f.params["w"]))
+
     with open(out_path, "w") as f:
         json.dump({
             "pid": pid,
@@ -101,6 +130,9 @@ def main():
             "loss": loss,
             "step_after": int(jax.device_get(state.step)),
             "ckpt_diff": ckpt_diff,
+            "fsdp_shard_shapes": fsdp_shard_shapes,
+            "fsdp_loss": fsdp_loss,
+            "fsdp_ckpt_diff": fsdp_ckpt_diff,
         }, f)
 
 

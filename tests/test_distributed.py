@@ -78,3 +78,12 @@ def test_two_process_jax_distributed(tmp_path):
     assert r[0]["rng_scalar"] != r[1]["rng_scalar"]
     # the psum'd loss is identical on every process
     assert r[0]["loss"] == r[1]["loss"]
+
+    # cross-process fsdp: each process holds 2 of the 4 row-shards of the
+    # (16, 3) weight (the ZeRO axis spans the process boundary), the
+    # sharded step agrees on the loss, and the multi-process sharded
+    # checkpoint restores exactly
+    for x in r:
+        assert x["fsdp_shard_shapes"] == ["(4, 3)", "(4, 3)"]
+        assert x["fsdp_ckpt_diff"] == 0.0
+    assert r[0]["fsdp_loss"] == r[1]["fsdp_loss"]
