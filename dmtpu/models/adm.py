@@ -247,7 +247,9 @@ class UNetModel(nn.Module):
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     use_fp16: bool = False        # fp16 torso configs → bfloat16 torso on TPU
-    use_checkpoint: bool = False  # jax.checkpoint (remat) ResBlocks + attention
+    # jax.checkpoint (remat) ResBlocks + attention: True = full remat, or a
+    # policy name string (dmtpu/ops/rematerialize.py) for selective remat
+    use_checkpoint: Any = False
     torso_dtype: Any = None       # explicit override, e.g. jnp.bfloat16
 
     @nn.compact
@@ -269,13 +271,16 @@ class UNetModel(nn.Module):
             return AttentionBlock(heads, self.num_head_channels,
                                   self.use_new_attention_order, dtype=dt, name=idx_name)
 
-        ckpt = self.use_checkpoint
+        from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+        ckpt, policy = normalize_use_checkpoint(self.use_checkpoint)
 
         def res(rb: nn.Module, hh: Array) -> Array:
-            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+            return (remat_call(rb, hh, emb, train=train, policy=policy)
+                    if ckpt else rb(hh, emb, train=train))
 
         def att(ab: nn.Module, hh: Array) -> Array:
-            return remat_call(ab, hh) if ckpt else ab(hh)
+            return remat_call(ab, hh, policy=policy) if ckpt else ab(hh)
 
         h = nn.Conv(int(self.channel_mult[0] * self.model_channels), (3, 3), padding=1,
                     dtype=dt, name="input_blocks__0__0")(x.astype(dt) if dt else x)
@@ -387,7 +392,7 @@ class EncoderUNetModel(nn.Module):
     resblock_updown: bool = False
     use_new_attention_order: bool = False
     use_fp16: bool = False
-    use_checkpoint: bool = False
+    use_checkpoint: Any = False
     pool: str = "adaptive"
     torso_dtype: Any = None
 
@@ -401,13 +406,16 @@ class EncoderUNetModel(nn.Module):
 
         results = []
 
-        ckpt = self.use_checkpoint
+        from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+        ckpt, policy = normalize_use_checkpoint(self.use_checkpoint)
 
         def res(rb: nn.Module, hh: Array) -> Array:
-            return remat_call(rb, hh, emb, train=train) if ckpt else rb(hh, emb, train=train)
+            return (remat_call(rb, hh, emb, train=train, policy=policy)
+                    if ckpt else rb(hh, emb, train=train))
 
         def att(ab: nn.Module, hh: Array) -> Array:
-            return remat_call(ab, hh) if ckpt else ab(hh)
+            return remat_call(ab, hh, policy=policy) if ckpt else ab(hh)
 
         def pool_feat(z):
             return z.astype(x.dtype).mean(axis=(1, 2))

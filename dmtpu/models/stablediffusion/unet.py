@@ -65,7 +65,7 @@ class SDUNetModel(nn.Module):
     disable_middle_transformer: bool = False
     use_linear_in_transformer: bool = False
     adm_in_channels: Optional[int] = None
-    use_checkpoint: bool = False
+    use_checkpoint: Any = False  # True / False / policy name (selective remat)
     use_fp16: bool = False
     use_bf16: bool = False
     spatial_transformer_attn_type: str = "softmax"
