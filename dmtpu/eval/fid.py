@@ -116,6 +116,42 @@ def compute_fid(
     return fid_from_features(f1, f2)
 
 
+def polynomial_mmd2(f1: np.ndarray, f2: np.ndarray, degree: int = 3,
+                    gamma: Optional[float] = None, coef0: float = 1.0) -> float:
+    """Unbiased MMD² with the polynomial kernel k(x,y) = (γ x·y + c)^d —
+    the KID kernel (Bińkowski et al. 2018, arXiv:1801.01401; defaults are
+    torch-fidelity's: d=3, γ=1/dim, c=1)."""
+    f1 = np.asarray(f1, np.float64)
+    f2 = np.asarray(f2, np.float64)
+    if gamma is None:
+        gamma = 1.0 / f1.shape[1]
+    kxx = (gamma * (f1 @ f1.T) + coef0) ** degree
+    kyy = (gamma * (f2 @ f2.T) + coef0) ** degree
+    kxy = (gamma * (f1 @ f2.T) + coef0) ** degree
+    m, n = len(f1), len(f2)
+    term_x = (kxx.sum() - np.trace(kxx)) / (m * (m - 1))
+    term_y = (kyy.sum() - np.trace(kyy)) / (n * (n - 1))
+    return float(term_x + term_y - 2.0 * kxy.mean())
+
+
+def kid_from_features(feats1: np.ndarray, feats2: np.ndarray,
+                      subsets: int = 100, subset_size: int = 1000,
+                      seed: int = 0) -> Tuple[float, float]:
+    """Kernel Inception Distance: mean ± std of unbiased polynomial MMD²
+    over ``subsets`` random subsets of size ``subset_size`` (torch-fidelity
+    procedure and defaults; subset size is clamped to the smaller set)."""
+    feats1 = np.asarray(feats1)
+    feats2 = np.asarray(feats2)
+    rng = np.random.RandomState(seed)
+    n = min(subset_size, len(feats1), len(feats2))
+    vals = []
+    for _ in range(subsets):
+        a = feats1[rng.choice(len(feats1), n, replace=False)]
+        b = feats2[rng.choice(len(feats2), n, replace=False)]
+        vals.append(polynomial_mmd2(a, b))
+    return float(np.mean(vals)), float(np.std(vals))
+
+
 def inception_score(probs: np.ndarray, splits: int = 10) -> Tuple[float, float]:
     """Inception Score from class probabilities [N, K]: exp(E KL(p(y|x)||p(y))).
 

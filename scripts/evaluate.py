@@ -74,6 +74,11 @@ def main():
     p.add_argument("--clip_pretrained", default=None,
                    help="local HF CLIP checkpoint -> CLIP-FID")
     p.add_argument("--is_splits", type=int, default=10)
+    p.add_argument("--kid", action="store_true",
+                   help="also report KID (unbiased polynomial MMD^2, "
+                        "torch-fidelity procedure) on the Inception features")
+    p.add_argument("--kid_subsets", type=int, default=100)
+    p.add_argument("--kid_subset_size", type=int, default=1000)
     args = p.parse_args()
     logger = get_logger()
 
@@ -93,11 +98,19 @@ def main():
 
         ext = InceptionFeatureExtractor(args.inception_weights, batch_size=args.batch_size)
         # one network sweep per image set: FID uses pool3, IS reuses the
-        # probs from the same fake-set pass
+        # probs from the same fake-set pass (and KID the same features)
         fake_pool3, fake_probs = ext.features_and_probs(fake)
-        results["fid"] = fid_from_features(ext(real), fake_pool3)
+        real_pool3 = ext(real)
+        results["fid"] = fid_from_features(real_pool3, fake_pool3)
         m, s = inception_score(fake_probs, splits=args.is_splits)
         results["is_mean"], results["is_std"] = m, s
+        if args.kid:
+            from dmtpu.eval.fid import kid_from_features
+
+            km, ks = kid_from_features(real_pool3, fake_pool3,
+                                       subsets=args.kid_subsets,
+                                       subset_size=args.kid_subset_size)
+            results["kid_mean"], results["kid_std"] = km, ks
     if args.clip_pretrained:
         from dmtpu.eval import CLIPFeatureExtractor
 

@@ -76,3 +76,34 @@ def test_clip_extractor_works_with_raw_flax_module():
     feats = ext(np.zeros((6, 16, 16, 3), np.uint8))
     assert feats.shape == (6, 16)
     np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, rtol=1e-4)
+
+
+def test_kid_matches_naive_mmd_and_behaves():
+    """polynomial_mmd2 equals an O(n^2)-loop unbiased MMD^2 oracle; KID is
+    ~0 within-distribution and grows under a mean shift (torch-fidelity's
+    kernel: (x.y/d + 1)^3)."""
+    from dmtpu.eval.fid import kid_from_features, polynomial_mmd2
+
+    rs = np.random.RandomState(0)
+    f1 = rs.randn(12, 5)
+    f2 = rs.randn(10, 5) + 0.3
+
+    def k(x, y, d=5):
+        return (x @ y / d + 1.0) ** 3
+
+    m, n = len(f1), len(f2)
+    tx = sum(k(f1[i], f1[j]) for i in range(m) for j in range(m) if i != j) / (m * (m - 1))
+    ty = sum(k(f2[i], f2[j]) for i in range(n) for j in range(n) if i != j) / (n * (n - 1))
+    txy = sum(k(f1[i], f2[j]) for i in range(m) for j in range(n)) / (m * n)
+    want = tx + ty - 2 * txy
+    np.testing.assert_allclose(polynomial_mmd2(f1, f2), want, rtol=1e-10)
+
+    same_a = rs.randn(400, 8)
+    same_b = rs.randn(400, 8)
+    near, _ = kid_from_features(same_a, same_b, subsets=8, subset_size=100)
+    far, far_std = kid_from_features(same_a, same_b + 1.0, subsets=8, subset_size=100)
+    assert abs(near) < 0.05  # unbiased estimator ~ 0 (can be slightly negative)
+    assert far > near + 1.0 and far_std >= 0
+    # deterministic under the same seed
+    assert kid_from_features(f1, f2, subsets=3, subset_size=6) == \
+        kid_from_features(f1, f2, subsets=3, subset_size=6)

@@ -53,7 +53,8 @@ def test_evaluate_cli_classic_fid(tmp_path, monkeypatch, capsys):
 
     argv = ["evaluate.py", "--real_dir", str(real_dir), "--fake_dir", str(fake_dir),
             "--img_size", "32", "--batch_size", "8",
-            "--inception_weights", str(wpath), "--is_splits", "2"]
+            "--inception_weights", str(wpath), "--is_splits", "2",
+            "--kid", "--kid_subsets", "4", "--kid_subset_size", "8"]
     monkeypatch.setattr(sys, "argv", argv)
     with jax.default_device(CPU):
         import evaluate
@@ -62,3 +63,4 @@ def test_evaluate_cli_classic_fid(tmp_path, monkeypatch, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert np.isfinite(out["fid"]) and out["fid"] > 0
     assert out["is_mean"] >= 1.0
+    assert np.isfinite(out["kid_mean"]) and np.isfinite(out["kid_std"])
