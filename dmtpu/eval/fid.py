@@ -123,6 +123,9 @@ def polynomial_mmd2(f1: np.ndarray, f2: np.ndarray, degree: int = 3,
     torch-fidelity's: d=3, γ=1/dim, c=1)."""
     f1 = np.asarray(f1, np.float64)
     f2 = np.asarray(f2, np.float64)
+    if len(f1) < 2 or len(f2) < 2:
+        raise ValueError(
+            f"unbiased MMD^2 needs >= 2 samples per set, got {len(f1)}/{len(f2)}")
     if gamma is None:
         gamma = 1.0 / f1.shape[1]
     kxx = (gamma * (f1 @ f1.T) + coef0) ** degree

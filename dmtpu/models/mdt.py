@@ -148,7 +148,8 @@ class MDTv2(nn.Module):
     learn_sigma: bool = True
     mask_ratio: Optional[float] = None
     decode_layer: int = 4
-    use_checkpoint: bool = False  # jax.checkpoint each MDTBlock (training memory)
+    # jax.checkpoint each MDTBlock: True / False / policy name (selective remat)
+    use_checkpoint: Any = False
     dtype: Any = None
 
     @property
@@ -210,11 +211,15 @@ class MDTv2(nn.Module):
         else:
             mask = ids_restore = ids_keep = None
 
+        from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+        ckpt, policy = normalize_use_checkpoint(self.use_checkpoint)
+
         def blkcall(blk: nn.Module, z: Array, skip: Optional[Array] = None,
                     ids_keep_: Optional[Array] = None) -> Array:
-            if self.use_checkpoint:
-                return nn.remat(lambda m, a, b, s, ik: m(a, b, skip=s, ids_keep=ik))(
-                    blk, z, c, skip, ids_keep_)
+            if ckpt:
+                return nn.remat(lambda m, a, b, s, ik: m(a, b, skip=s, ids_keep=ik),
+                                policy=policy)(blk, z, c, skip, ids_keep_)
             return blk(z, c, skip=skip, ids_keep=ids_keep_)
 
         skips = []

@@ -84,6 +84,8 @@ def main():
 
     if not args.inception_weights and not args.clip_pretrained:
         p.error("provide --inception_weights (classic FID/IS) and/or --clip_pretrained (CLIP-FID)")
+    if args.kid and not args.inception_weights:
+        p.error("--kid computes KID on Inception pool3 features; it needs --inception_weights")
 
     real = load_images_u8(args.real_dir, args.img_size, args.n_max)
     fake = load_images_u8(args.fake_dir, args.img_size, args.n_max)
@@ -117,7 +119,9 @@ def main():
         ext = CLIPFeatureExtractor(args.clip_pretrained, batch_size=args.batch_size)
         results["clip_fid"] = compute_fid(real, fake, ext)
 
-    print(json.dumps({k: round(float(v), 4) for k, v in results.items()}))
+    # KID magnitudes are ~1e-3/1e-4 — full precision for those, 4 dp for the rest
+    print(json.dumps({k: (float(v) if k.startswith("kid") else round(float(v), 4))
+                      for k, v in results.items()}))
 
 
 if __name__ == "__main__":

@@ -67,9 +67,8 @@ def main():
     sd = instantiate_from_config(conf.model)
     base = args.base or conf.get("weights")
     if base:
-        from dmtpu.convert import load_torch_weights
-
-        params = sd.load_state_dict(load_torch_weights(base))
+        # torch .ckpt/.safetensors, or an .npz (e.g. a previous merge output)
+        params = sd.load_weights(base)
         logger.info(f"Loaded base weights from {base}")
     else:
         params = sd.init_params(jax.random.PRNGKey(conf.get("seed", 0)),

@@ -21,7 +21,6 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from dmtpu.convert import load_torch_weights
 from dmtpu.diffusions import DDIMCFG, DPMSolverPPCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import to_pil

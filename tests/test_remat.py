@@ -119,3 +119,34 @@ def test_selective_remat_policy_grads_identical():
 
     with _pytest.raises(ValueError, match="unknown checkpoint policy"):
         normalize_use_checkpoint("bogus")
+
+
+def test_selective_remat_policy_mdt_and_kid_guards():
+    """MDT honours policy strings too (not silently full-remat), and the
+    KID estimator rejects degenerate sets instead of emitting inf."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from dmtpu.models.mdt import MDTv2
+
+    x = jnp.ones((2, 8, 8, 4)) * 0.1
+    t = jnp.arange(2)
+    y = jnp.arange(2)
+    kw = dict(input_size=8, patch_size=2, hidden_size=32, depth=2, num_heads=2,
+              num_classes=10, decode_layer=1)
+    m_plain = MDTv2(**kw)
+    m_dots = MDTv2(use_checkpoint="dots", **kw)
+    p = m_plain.init(jax.random.PRNGKey(0), x, t, y)
+    g0 = jax.jit(jax.grad(lambda pp: jnp.mean(m_plain.apply(pp, x, t, y) ** 2)))(p)
+    g1 = jax.jit(jax.grad(lambda pp: jnp.mean(m_dots.apply(pp, x, t, y) ** 2)))(p)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    with pytest.raises(ValueError, match="unknown checkpoint policy"):
+        MDTv2(use_checkpoint="bogus", **kw).apply(p, x, t, y)
+
+    from dmtpu.eval.fid import polynomial_mmd2
+
+    with pytest.raises(ValueError, match=">= 2 samples"):
+        polynomial_mmd2(np.zeros((1, 4)), np.zeros((5, 4)))
