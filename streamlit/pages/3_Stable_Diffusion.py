@@ -21,26 +21,32 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from dmtpu.diffusions import DDIMCFG, DPMSolverPPCFG
+from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import to_pil
 
 CONFIG = os.environ.get("DMTPU_SD_CONFIG", "weights/stablediffusion/v1-inference.yaml")
 WEIGHTS = os.environ.get("DMTPU_SD_WEIGHTS")
+# optional: a directory to scan for weights, shown as a dropdown (the
+# reference page's model selector, reference :131-135)
+WEIGHTS_DIR = os.environ.get("DMTPU_SD_WEIGHTS_DIR")
 TOKENIZER = os.environ.get("DMTPU_CLIP_TOKENIZER")
+
+_SAMPLERS = {"ddim": DDIMCFG, "ddpm": DDPMCFG, "dpmpp": DPMSolverPPCFG}
 
 
 @st.cache_resource
-def load_sd():
+def load_sd(weights_path=None):
     conf = load_config(CONFIG)
     sd = instantiate_from_config(conf.model)
     if TOKENIZER:
         from transformers import CLIPTokenizer
 
         sd.text_encoder.tokenizer = CLIPTokenizer.from_pretrained(TOKENIZER)
-    if WEIGHTS:
+    weights = weights_path or WEIGHTS
+    if weights:
         # .ckpt/.safetensors (converted) or a merged-LoRA .npz
-        params = sd.load_weights(WEIGHTS)
+        params = sd.load_weights(weights)
     else:
         st.warning("DMTPU_SD_WEIGHTS not set — running with RANDOM weights (demo mode)")
         params = sd.init_params(jax.random.PRNGKey(0))
@@ -48,22 +54,35 @@ def load_sd():
 
 
 st.title("Stable Diffusion")
+weights_choice = None
+if WEIGHTS_DIR:
+    import glob as _glob
+
+    found = sorted(sum((_glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
+                                   recursive=True)
+                        for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
+    weights_choice = st.selectbox("Model", options=found, index=0 if found else None)
 prompt = st.text_area("Prompt", "a photograph of an astronaut riding a horse")
 negative = st.text_area("Negative prompt", "")
-sampler = st.selectbox("Sampler", ["ddim", "dpmpp"])
+sampler = st.selectbox("Sampler", ["ddim", "ddpm", "dpmpp"])
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 7.5)
-height = st.selectbox("Height", [512, 576, 640, 768], index=0)
-width = st.selectbox("Width", [512, 576, 640, 768], index=0)
+height = st.select_slider("Height", options=list(range(128, 1025, 128)), value=512)
+width = st.select_slider("Width", options=list(range(128, 1025, 128)), value=512)
 offset_noise = st.slider("Offset noise", 0.0, 0.2, 0.0)
 batch_size = st.slider("Batch size", 1, 8, 1)
 batch_count = st.slider("Batch count", 1, 8, 1)
-seed = st.number_input("Seed", value=0)
+seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
+                       help="-1 draws a fresh random seed per run (reference :160-162)")
+if seed == -1:
+    seed = int(np.random.randint(0, 2**32 - 1))
 
 if st.button("Generate"):
-    conf, sd, params = load_sd()
+    conf, sd, params = load_sd(weights_choice)
     dp = dict(conf.diffusion.get("params", {}))
     dp.pop("device", None)
+    if sampler != "ddpm":
+        dp.pop("var_type", None)  # ancestral-only knob
     dp.update(respace_type="uniform", respace_steps=steps,
               guidance_scale=scale, cond_kwarg="text_embed")
     text_embed = sd.text_encoder_encode(params, [prompt] * batch_size)
@@ -74,8 +93,7 @@ if st.button("Generate"):
     cache = st.session_state.setdefault("_sd_samplers", {})
     cache_key = (sampler, steps, scale, height, width, batch_size)
     if cache_key not in cache:
-        cls = DPMSolverPPCFG if sampler == "dpmpp" else DDIMCFG
-        diffuser = cls(**dp)
+        diffuser = _SAMPLERS[sampler](**dp)
 
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering

@@ -57,6 +57,11 @@ class _Stub:
             return self.overrides[label]
         return options[index]
 
+    def select_slider(self, label, options=None, value=None, **k):
+        if label in self.overrides:
+            return self.overrides[label]
+        return value if value is not None else (options[0] if options else None)
+
     def number_input(self, label, value=0, **k):
         return self.overrides.get(label, value)
 
@@ -80,7 +85,8 @@ def _run_page(page, monkeypatch, overrides=None, button=False, env=None):
     st = _Stub(overrides=overrides, button_result=button)
     mod = types.ModuleType("streamlit")
     for name in ("cache_resource", "button", "slider", "selectbox",
-                 "number_input", "text_area", "text_input", "image", "warning"):
+                 "select_slider", "number_input", "text_area", "text_input",
+                 "image", "warning"):
         setattr(mod, name, getattr(st, name))
     mod.session_state = st.session_state
     mod.__getattr__ = st.__getattr__
@@ -210,3 +216,32 @@ def test_sdxl_page_generates_images_demo_mode(monkeypatch, tmp_path):
     assert any("RANDOM" in w for w in st.warnings)
     assert len(st.images) == 2
     assert np.asarray(st.images[0]).shape[:2] == (256, 256)
+
+
+def test_sd_page_ddpm_sampler_weights_dir_and_npz(monkeypatch, tmp_path):
+    """Round-3 page-3 surface: the DDPM (ancestral CFG) sampler option, the
+    DMTPU_SD_WEIGHTS_DIR model dropdown, and loading a .npz artifact (the
+    merge_lora output format) through it — no demo-mode warning."""
+    import jax
+
+    from dmtpu.utils.config import instantiate_from_config, load_config
+    from tests._tiny_fixtures import make_tiny_clip_dir, tiny_sd_config
+
+    conf_path = tiny_sd_config(tmp_path / "sd.yaml")
+    clip_dir = make_tiny_clip_dir(tmp_path / "clip")
+    wdir = tmp_path / "weights"
+    wdir.mkdir()
+    sd = instantiate_from_config(load_config(conf_path).model)
+    params = sd.init_params(jax.random.PRNGKey(1), 64)
+    np.savez(wdir / "tiny_sd.npz", params=jax.device_get(params))
+
+    st = _run_page(
+        _page("3_Stable_Diffusion"), monkeypatch, button=True,
+        overrides={"Sampler": "ddpm", "Steps": 3, "Height": 128, "Width": 128,
+                   "Batch size": 1, "Batch count": 1, "Seed": 7},
+        env={"DMTPU_SD_CONFIG": conf_path, "DMTPU_SD_WEIGHTS": None,
+             "DMTPU_SD_WEIGHTS_DIR": str(tmp_path / "weights"),
+             "DMTPU_CLIP_TOKENIZER": clip_dir})
+    assert not st.warnings  # dropdown weights loaded -> no demo-mode warning
+    assert len(st.images) == 1
+    assert np.asarray(st.images[0]).shape[:2] == (128, 128)
