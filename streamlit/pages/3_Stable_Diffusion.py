@@ -72,6 +72,8 @@ width = st.select_slider("Width", options=list(range(128, 1025, 128)), value=512
 offset_noise = st.slider("Offset noise", 0.0, 0.2, 0.0)
 batch_size = st.slider("Batch size", 1, 8, 1)
 batch_count = st.slider("Batch count", 1, 8, 1)
+respace_type = st.selectbox(
+    "Respace type", ["uniform-linspace", "uniform-leading", "uniform-trailing"])
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
                        help="-1 draws a fresh random seed per run (reference :160-162)")
 if seed == -1:
@@ -83,7 +85,7 @@ if st.button("Generate"):
     dp.pop("device", None)
     if sampler != "ddpm":
         dp.pop("var_type", None)  # ancestral-only knob
-    dp.update(respace_type="uniform", respace_steps=steps,
+    dp.update(respace_type=respace_type, respace_steps=steps,
               guidance_scale=scale, cond_kwarg="text_embed")
     text_embed = sd.text_encoder_encode(params, [prompt] * batch_size)
     neg_embed = sd.text_encoder_encode(params, [negative] * batch_size)
@@ -91,7 +93,7 @@ if st.button("Generate"):
     # cache the compiled sampler across Streamlit reruns (script re-executes
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_sd_samplers", {})
-    cache_key = (sampler, steps, scale, height, width, batch_size)
+    cache_key = (sampler, respace_type, steps, scale, height, width, batch_size)
     if cache_key not in cache:
         diffuser = _SAMPLERS[sampler](**dp)
 

@@ -59,17 +59,23 @@ negative = st.text_area("Negative prompt", "")
 sampler = st.selectbox("Sampler", ["DDIM", "DPM-Solver++", "DDPM"], index=0)
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 5.0)
-height = st.selectbox("Height", [1024, 896, 768], index=0)
-width = st.selectbox("Width", [1024, 896, 768], index=0)
+height = st.select_slider("Height", options=list(range(512, 1537, 128)), value=1024)
+width = st.select_slider("Width", options=list(range(512, 1537, 128)), value=1024)
 offset_noise = st.slider("Offset noise", 0.0, 0.2, 0.0)
 batch_size = st.slider("Batch size", 1, 4, 1)
-seed = st.number_input("Seed", value=0)
+batch_count = st.slider("Batch count", 1, 8, 1)
+respace_type = st.selectbox(
+    "Respace type", ["uniform-linspace", "uniform-leading", "uniform-trailing"])
+seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
+                       help="-1 draws a fresh random seed per run")
+if seed == -1:
+    seed = int(np.random.randint(0, 2**32 - 1))
 
 if st.button("Generate"):
     conf, model, params, tok_l, tok_g = load_sdxl()
     dp = dict(conf.diffusion.get("params", {}))
     dp.pop("device", None)
-    dp.update(respace_type="uniform", respace_steps=steps,
+    dp.update(respace_type=respace_type, respace_steps=steps,
               guidance_scale=scale, cond_kwarg="cond")
     diffuser = {"DDIM": DDIMCFG, "DPM-Solver++": DPMSolverPPCFG,
                 "DDPM": DDPMCFG}[sampler](**dp)
@@ -89,7 +95,7 @@ if st.button("Generate"):
                                force_zero_text=(negative == ""), **sizes)
 
     cache = st.session_state.setdefault("_sdxl_samplers", {})
-    cache_key = (sampler, steps, scale, height, width, batch_size)
+    cache_key = (sampler, respace_type, steps, scale, height, width, batch_size)
     if cache_key not in cache:
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering
@@ -103,12 +109,14 @@ if st.button("Generate"):
         cache[cache_key] = fn
     fn = cache[cache_key]
 
-    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
-    noise = jax.random.normal(k_noise, (batch_size, height // 8, width // 8, 4))
-    if offset_noise > 0:
-        noise = noise + offset_noise * jax.random.normal(
-            jax.random.fold_in(k_noise, 1), (batch_size, 1, 1, 1))
-    z = fn(params, noise, k_samp, cond, uncond)
-    imgs = np.clip(np.asarray(model.decode_latent(params, z)), -1, 1)
-    for b in range(batch_size):
-        st.image(to_pil(imgs[b]), width=width)
+    for i in range(batch_count):
+        k_noise, k_samp = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(seed)), i))
+        noise = jax.random.normal(k_noise, (batch_size, height // 8, width // 8, 4))
+        if offset_noise > 0:
+            noise = noise + offset_noise * jax.random.normal(
+                jax.random.fold_in(k_noise, 1), (batch_size, 1, 1, 1))
+        z = fn(params, noise, k_samp, cond, uncond)
+        imgs = np.clip(np.asarray(model.decode_latent(params, z)), -1, 1)
+        for b in range(batch_size):
+            st.image(to_pil(imgs[b]), width=width)
