@@ -21,12 +21,14 @@ from dmtpu.utils.image import make_grid, to_pil
 
 CONFIG = os.environ.get("DMTPU_CONFIG", "configs/ddpm_cifar10.yaml")
 WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
+# optional: directory scanned into a Model dropdown (reference :141-148)
+WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
             "dpmpp": DPMSolverPP}
 
 
 @st.cache_resource
-def load_model():
+def load_model(weights_path=None):
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
     sys.path.append(os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -35,28 +37,48 @@ def load_model():
 
     shape = (1, conf.data.params.img_size, conf.data.params.img_size,
              conf.data.get("img_channels", 3))
-    params = load_model_params(WEIGHTS, model, (jnp.zeros(shape), jnp.zeros((1,), jnp.int32)))
+    params = load_model_params(weights_path or WEIGHTS, model,
+                               (jnp.zeros(shape), jnp.zeros((1,), jnp.int32)))
     return conf, model, params, shape[1:]
 
 
+def pick_weights():
+    """Reference's Model dropdown: scan DMTPU(_SD)_WEIGHTS_DIR if set."""
+    if not WEIGHTS_DIR:
+        return None
+    import glob
+
+    found = sorted(sum((glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
+                                  recursive=True)
+                        for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
+    return st.selectbox("Model", options=found, index=0 if found else None)
+
+
 st.title("Unconditional Image Generation")
+weights_choice = pick_weights()
 sampler = st.selectbox("Sampler", list(SAMPLERS))
 steps = st.slider("Sampling steps", 5, 1000, 50)
 var_type = st.selectbox("Variance", ["fixed_small", "fixed_large", "learned_range"])
+respace_type = st.selectbox(
+    "Respace type", ["uniform-linspace", "uniform-leading", "uniform-trailing"])
 n = st.slider("Batch size", 1, 64, 16)
-seed = st.number_input("Seed", value=0)
+batch_count = st.slider("Batch count", 1, 8, 1)
+seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
+                       help="-1 draws a fresh random seed per run")
+if seed == -1:
+    seed = int(np.random.randint(0, 2**32 - 1))
 
 if st.button("Sample"):
-    conf, model, params, shape = load_model()
+    conf, model, params, shape = load_model(weights_choice)
     # Streamlit re-executes this script per interaction: cache the jitted
     # sampler in session_state (keyed by its settings) so identical clicks
     # reuse the compiled executable instead of retracing the whole scan.
     cache = st.session_state.setdefault("_samplers", {})
-    cache_key = (sampler, steps, var_type)
+    cache_key = (sampler, steps, var_type, respace_type)
     if cache_key not in cache:
         dp = dict(conf.diffusion.get("params", {}))
         dp.pop("device", None)
-        dp.update(respace_type="uniform", respace_steps=steps, var_type=var_type)
+        dp.update(respace_type=respace_type, respace_steps=steps, var_type=var_type)
         diffuser = SAMPLERS[sampler](**dp)
 
         @jax.jit
@@ -69,8 +91,11 @@ if st.button("Sample"):
     fn = cache[cache_key]
 
     t0 = time.time()
-    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
-    out = np.clip(np.asarray(
-        fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp)), -1, 1)
-    st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)
-    st.caption(f"{n} samples in {time.time() - t0:.2f}s on {jax.devices()[0].device_kind}")
+    for i in range(batch_count):
+        k_noise, k_samp = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(seed)), i))
+        out = np.clip(np.asarray(
+            fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp)), -1, 1)
+        st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)
+    st.caption(f"{n * batch_count} samples in {time.time() - t0:.2f}s "
+               f"on {jax.devices()[0].device_kind}")

@@ -20,10 +20,11 @@ from dmtpu.utils.image import make_grid, to_pil
 
 CONFIG = os.environ.get("DMTPU_CONFIG", "configs/ddpm_cfg_cifar10.yaml")
 WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
+WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
 
 
 @st.cache_resource
-def load_model():
+def load_model(weights_path=None):
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
     sys.path.append(os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
@@ -33,30 +34,47 @@ def load_model():
     shape = (1, conf.data.params.img_size, conf.data.params.img_size,
              conf.data.get("img_channels", 3))
     params = load_model_params(
-        WEIGHTS, model,
+        weights_path or WEIGHTS, model,
         (jnp.zeros(shape), jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)))
     return conf, model, params, shape[1:]
 
 
 st.title("Class-conditional Generation (CFG)")
+weights_choice = None
+if WEIGHTS_DIR:
+    import glob
+
+    _found = sorted(sum((glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
+                                   recursive=True)
+                         for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
+    weights_choice = st.selectbox("Model", options=_found,
+                                  index=0 if _found else None)
 sampler = st.selectbox("Sampler", ["ddpm", "ddim"])
 steps = st.slider("Sampling steps", 5, 1000, 50)
 scale = st.slider("Guidance scale", 0.0, 10.0, 3.0)
 cls = st.number_input("Class id", value=0)
+var_type = st.selectbox("Variance", ["fixed_small", "fixed_large"])
+respace_type = st.selectbox(
+    "Respace type", ["uniform-linspace", "uniform-leading", "uniform-trailing"])
 n = st.slider("Batch size", 1, 64, 16)
-seed = st.number_input("Seed", value=0)
+batch_count = st.slider("Batch count", 1, 8, 1)
+seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
+                       help="-1 draws a fresh random seed per run")
+if seed == -1:
+    seed = int(np.random.randint(0, 2**32 - 1))
 
 if st.button("Sample"):
-    conf, model, params, shape = load_model()
+    conf, model, params, shape = load_model(weights_choice)
     nc = conf.data.num_classes
     # cache the compiled sampler across Streamlit reruns (script re-executes
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_cfg_samplers", {})
-    cache_key = (sampler, steps, scale)
+    cache_key = (sampler, steps, scale, var_type, respace_type)
     if cache_key not in cache:
         dp = dict(conf.diffusion.get("params", {}))
         dp.pop("device", None)
-        dp.update(respace_type="uniform", respace_steps=steps, guidance_scale=scale)
+        dp.update(respace_type=respace_type, respace_steps=steps,
+                  guidance_scale=scale, var_type=var_type)
         diffuser = (DDIMCFG if sampler == "ddim" else DDPMCFG)(**dp)
 
         @jax.jit
@@ -71,8 +89,10 @@ if st.button("Sample"):
         cache[cache_key] = fn
     fn = cache[cache_key]
 
-    k_noise, k_samp = jax.random.split(jax.random.PRNGKey(int(seed)))
     y = jnp.full((n,), int(cls), jnp.int32)
-    out = np.clip(np.asarray(
-        fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp, y)), -1, 1)
-    st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)
+    for i in range(batch_count):
+        k_noise, k_samp = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(seed)), i))
+        out = np.clip(np.asarray(
+            fn(params, jax.random.normal(k_noise, (n,) + shape), k_samp, y)), -1, 1)
+        st.image(to_pil(make_grid(out, nrow=int(np.ceil(np.sqrt(n))))), width=512)
