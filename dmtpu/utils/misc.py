@@ -112,3 +112,17 @@ def create_exp_dir(
     os.makedirs(os.path.join(exp_dir, "samples"), exist_ok=True)
     with open(os.path.join(exp_dir, f"config-{time_str}.yaml"), "w") as f:
         f.write(conf_yaml)
+
+
+def list_weight_files(root):
+    """Recursively list loadable weight artifacts under ``root`` (the
+    streamlit pages' Model dropdown — reference streamlit/pages/*:141-148).
+    Sorted; empty list if root is falsy/missing."""
+    import glob as _glob
+
+    if not root:
+        return []
+    out = []
+    for ext in ("pt", "pth", "ckpt", "safetensors", "npz"):
+        out += _glob.glob(os.path.join(root, f"**/*.{ext}"), recursive=True)
+    return sorted(out)

@@ -27,7 +27,7 @@ SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampl
             "dpmpp": DPMSolverPP}
 
 
-@st.cache_resource
+@st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
 def load_model(weights_path=None):
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
@@ -42,20 +42,13 @@ def load_model(weights_path=None):
     return conf, model, params, shape[1:]
 
 
-def pick_weights():
-    """Reference's Model dropdown: scan DMTPU(_SD)_WEIGHTS_DIR if set."""
-    if not WEIGHTS_DIR:
-        return None
-    import glob
-
-    found = sorted(sum((glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
-                                  recursive=True)
-                        for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
-    return st.selectbox("Model", options=found, index=0 if found else None)
-
-
 st.title("Unconditional Image Generation")
-weights_choice = pick_weights()
+weights_choice = None
+if WEIGHTS_DIR:
+    from dmtpu.utils.misc import list_weight_files
+
+    _found = list_weight_files(WEIGHTS_DIR)
+    weights_choice = _found and st.selectbox("Model", options=_found) or None
 sampler = st.selectbox("Sampler", list(SAMPLERS))
 steps = st.slider("Sampling steps", 5, 1000, 50)
 var_type = st.selectbox("Variance", ["fixed_small", "fixed_large", "learned_range"])
@@ -66,7 +59,7 @@ batch_count = st.slider("Batch count", 1, 8, 1)
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
                        help="-1 draws a fresh random seed per run")
 if seed == -1:
-    seed = int(np.random.randint(0, 2**32 - 1))
+    seed = int(np.random.default_rng().integers(0, 2**32, dtype=np.uint32))
 
 if st.button("Sample"):
     conf, model, params, shape = load_model(weights_choice)

@@ -23,7 +23,7 @@ WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
 WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
 
 
-@st.cache_resource
+@st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
 def load_model(weights_path=None):
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
@@ -42,13 +42,10 @@ def load_model(weights_path=None):
 st.title("Class-conditional Generation (CFG)")
 weights_choice = None
 if WEIGHTS_DIR:
-    import glob
+    from dmtpu.utils.misc import list_weight_files
 
-    _found = sorted(sum((glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
-                                   recursive=True)
-                         for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
-    weights_choice = st.selectbox("Model", options=_found,
-                                  index=0 if _found else None)
+    _found = list_weight_files(WEIGHTS_DIR)
+    weights_choice = _found and st.selectbox("Model", options=_found) or None
 sampler = st.selectbox("Sampler", ["ddpm", "ddim"])
 steps = st.slider("Sampling steps", 5, 1000, 50)
 scale = st.slider("Guidance scale", 0.0, 10.0, 3.0)
@@ -61,7 +58,7 @@ batch_count = st.slider("Batch count", 1, 8, 1)
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
                        help="-1 draws a fresh random seed per run")
 if seed == -1:
-    seed = int(np.random.randint(0, 2**32 - 1))
+    seed = int(np.random.default_rng().integers(0, 2**32, dtype=np.uint32))
 
 if st.button("Sample"):
     conf, model, params, shape = load_model(weights_choice)

@@ -35,7 +35,7 @@ TOKENIZER = os.environ.get("DMTPU_CLIP_TOKENIZER")
 _SAMPLERS = {"ddim": DDIMCFG, "ddpm": DDPMCFG, "dpmpp": DPMSolverPPCFG}
 
 
-@st.cache_resource
+@st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
 def load_sd(weights_path=None):
     conf = load_config(CONFIG)
     sd = instantiate_from_config(conf.model)
@@ -56,12 +56,10 @@ def load_sd(weights_path=None):
 st.title("Stable Diffusion")
 weights_choice = None
 if WEIGHTS_DIR:
-    import glob as _glob
+    from dmtpu.utils.misc import list_weight_files
 
-    found = sorted(sum((_glob.glob(os.path.join(WEIGHTS_DIR, f"**/*.{e}"),
-                                   recursive=True)
-                        for e in ("pt", "pth", "ckpt", "safetensors", "npz")), []))
-    weights_choice = st.selectbox("Model", options=found, index=0 if found else None)
+    _found = list_weight_files(WEIGHTS_DIR)
+    weights_choice = _found and st.selectbox("Model", options=_found) or None
 prompt = st.text_area("Prompt", "a photograph of an astronaut riding a horse")
 negative = st.text_area("Negative prompt", "")
 sampler = st.selectbox("Sampler", ["ddim", "ddpm", "dpmpp"])
@@ -77,7 +75,7 @@ respace_type = st.selectbox(
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
                        help="-1 draws a fresh random seed per run (reference :160-162)")
 if seed == -1:
-    seed = int(np.random.randint(0, 2**32 - 1))
+    seed = int(np.random.default_rng().integers(0, 2**32, dtype=np.uint32))
 
 if st.button("Generate"):
     conf, sd, params = load_sd(weights_choice)

@@ -32,7 +32,7 @@ TOKENIZER_L = os.environ.get("DMTPU_CLIP_TOKENIZER")
 TOKENIZER_G = os.environ.get("DMTPU_OPENCLIP_TOKENIZER", TOKENIZER_L)
 
 
-@st.cache_resource
+@st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
 def load_sdxl():
     conf = load_config(CONFIG)
     model = instantiate_from_config(conf.model)
@@ -69,7 +69,7 @@ respace_type = st.selectbox(
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
                        help="-1 draws a fresh random seed per run")
 if seed == -1:
-    seed = int(np.random.randint(0, 2**32 - 1))
+    seed = int(np.random.default_rng().integers(0, 2**32, dtype=np.uint32))
 
 if st.button("Generate"):
     conf, model, params, tok_l, tok_g = load_sdxl()

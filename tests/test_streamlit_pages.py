@@ -91,7 +91,10 @@ def _run_page(page, monkeypatch, overrides=None, button=False, env=None):
     mod.session_state = st.session_state
     mod.__getattr__ = st.__getattr__
     monkeypatch.setitem(sys.modules, "streamlit", mod)
-    for k, v in (env or {}).items():
+    # pin the optional Model-dropdown dirs OFF unless a test opts in — a
+    # developer env with them exported must not flip pages out of demo mode
+    env = {"DMTPU_WEIGHTS_DIR": None, "DMTPU_SD_WEIGHTS_DIR": None, **(env or {})}
+    for k, v in env.items():
         if v is None:
             monkeypatch.delenv(k, raising=False)
         else:
