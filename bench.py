@@ -107,13 +107,25 @@ def main():
     soft("sd15_lora_train", sd15_lora_train_metrics)
     soft("dit_train", lambda: dit_train_metrics(batch=DIT_TRAIN_BATCH))
 
-    print(json.dumps({
+    payload = {
         "metric": "DDIM-50 SD1.5 512x512 sampling throughput",
         "value": round(sd_sps, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sd_sps / A100_BASELINE_SD15, 3),
         "extra": extra,
-    }))
+    }
+
+    # Regression guard vs the most recent green driver artifact (fail-soft:
+    # the guard annotates, it must never break the bench line itself).
+    def regressions():
+        from regression import find_regressions, load_prior_bench
+        prior = load_prior_bench(os.path.dirname(os.path.abspath(__file__)))
+        regs = find_regressions(payload, prior)
+        return {"regressions": regs} if regs else {}
+
+    soft("regression_guard", regressions)
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -233,3 +233,49 @@ def test_inception_sweep_cache_does_not_pin_images():
     del imgs
     gc.collect()
     assert ref() is None  # the cache did not pin the array
+
+
+def test_bench_regression_guard_flags_20pct_drop(tmp_path):
+    """Round-4 bench regression guard (VERDICT r3 item 6): a fake -20%
+    perturbation of any throughput metric vs the latest green BENCH_r*.json
+    must appear in the regressions list; flat/new/improved metrics must not."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_regression", os.path.join(repo, "benchmarks", "regression.py"))
+    reg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(reg)
+
+    prior_parsed = {
+        "value": 2.75,
+        "extra": {"dit_xl2_256_samples_per_sec": 12.0,
+                  "sd15_train_imgs_per_sec": 19.5,
+                  "sd15_batch": 16,  # not a throughput key: never compared
+                  "a100_baselines": {"sd15": 1.6}},
+    }
+    # rc!=0 / parsed=null artifacts (like BENCH_r03) must be skipped; the
+    # highest green n wins.
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps(
+        {"n": 2, "rc": 0, "parsed": prior_parsed}))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps(
+        {"n": 3, "rc": 1, "parsed": None}))
+    prior = reg.load_prior_bench(str(tmp_path))
+    assert prior is not None and prior["n"] == 2
+
+    current = {
+        "value": 2.75,  # flat: fine
+        "extra": {"dit_xl2_256_samples_per_sec": 12.0 * 0.8,  # -20%: flagged
+                  "sd15_train_imgs_per_sec": 21.0,  # improved: fine
+                  "sdxl_1024_samples_per_sec": 0.33},  # new metric: fine
+    }
+    regs = reg.find_regressions(current, prior)
+    assert len(regs) == 1 and regs[0].startswith(
+        "dit_xl2_256_samples_per_sec: 12 -> 9.6 (-20.0% vs r02)")
+    # no prior artifact at all -> no regressions, no crash
+    assert reg.find_regressions(current, None) == []
+    # within-tolerance (-5%) not flagged
+    ok = {"value": 2.75 * 0.95, "extra": {}}
+    assert reg.find_regressions(ok, prior) == []
