@@ -23,4 +23,10 @@ def setup_jax(cache_dir: str | None = None, distributed: bool = False) -> None:
     except Exception:
         pass
     if distributed and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        # jax auto-detects process count/id only on managed clusters
+        # (SLURM/OMPI/TPU pods); honour explicit env config everywhere else
+        n = os.environ.get("JAX_NUM_PROCESSES")
+        i = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(n) if n is not None else None,
+            process_id=int(i) if i is not None else None)

@@ -125,6 +125,7 @@ class DataParallelSampler:
     def __init__(self, params):
         self.mesh, self._shard, self._replicate = dp_sharding()
         self.ndev = int(self.mesh.devices.size)
+        self.is_main = jax.process_index() == 0
         self.params = self._replicate(params)
 
     def pad_shard(self, batch_tree):
@@ -140,3 +141,19 @@ class DataParallelSampler:
             return self._shard(jnp.asarray(x)[idx] if padded != b else jnp.asarray(x))
 
         return jax.tree.map(one, batch_tree), b
+
+    def gather(self, out, true_bs: int) -> np.ndarray:
+        """Sampler output -> host numpy rows [:true_bs] on EVERY process.
+
+        Single-process this is a plain device->host copy.  Under
+        ``jax.distributed`` the jitted output is sharded over the global
+        mesh, so rows living on other hosts are not addressable here —
+        allgather them first (the reference's ``accelerator.gather`` before
+        main-process saving, reference: scripts/sample_uncond.py:183-190).
+        Callers should write files only when ``self.is_main``.
+        """
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+        return np.asarray(out)[:true_bs]

@@ -17,7 +17,9 @@ sys.path.append(os.path.dirname(os.path.abspath(__file__)))
 
 from dmtpu.utils.setup import setup_jax  # noqa: E402
 
-setup_jax()
+# distributed=True is inert without JAX_COORDINATOR_ADDRESS; with it, folds
+# are data-parallel across ALL processes' devices and only process 0 saves
+setup_jax(distributed=True)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
@@ -116,11 +118,15 @@ def main():
         idx = 0
         for i, bs in enumerate(amortize(args.n_samples, args.batch_size)):
             # independent keys for the initial noise and the reverse process
+            # (identical on every process — the fold's batch is then sharded
+            # over the GLOBAL device set, so each process computes its slice
+            # and gather() reassembles the full fold)
             k_noise, k_samp = jax.random.split(jax.random.fold_in(rng, i))
             noise, bs = dp.pad_shard(jax.random.normal(k_noise, (bs,) + shape))
-            out = np.clip(np.asarray(sample_fn(noise, k_samp))[:bs], -1, 1)
+            out = np.clip(dp.gather(sample_fn(noise, k_samp), bs), -1, 1)
             for img in out:
-                save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
+                if dp.is_main:
+                    save_image(img, os.path.join(args.save_dir, f"{idx}.png"))
                 idx += 1
             logger.info(f"Sampled {idx}/{args.n_samples}")
 
