@@ -158,7 +158,9 @@ def attn_gflops(b, s, h, d):
 
 
 def probe(b, s, h, d, dtype=jnp.bfloat16, which=("xla", "flash", "chunked"),
-          grad_which=("flash", "chunked"), chunk=1024):
+          grad_which=("flash", "chunked"), chunk=1024, bq=512, bk=1024):
+    from dmtpu.ops.flash_small_d import flash_small_d_bshd
+
     rng = jax.random.PRNGKey(0)
     kq, kk, kv = jax.random.split(rng, 3)
     q = jax.random.normal(kq, (b, s, h, d), dtype)
@@ -169,6 +171,8 @@ def probe(b, s, h, d, dtype=jnp.bfloat16, which=("xla", "flash", "chunked"),
         "xla": lambda a, bb, c: mha(a, bb, c),
         "flash": lambda a, bb, c: flash_mha(a, bb, c, prefer_flash=True),
         "chunked": lambda a, bb, c: chunked_mha(a, bb, c, chunk=chunk),
+        f"smalld_q{bq}k{bk}": lambda a, bb, c: flash_small_d_bshd(
+            a, bb, c, d ** -0.5, block_q=bq, block_k=bk),
     }
     # correctness at a SMALL shape (an eager full-shape check would hold the
     # f32 S x S logits un-jitted -> OOM at b16 S4096)
@@ -212,3 +216,14 @@ if __name__ == "__main__":
               chunk=2048)
     if which == "sdxl":
         probe(1, 4096, 10, 64, grad_which=("xla", "flash", "chunked"))
+    # --- flash_small_d (round 4): the fused small-d kernel, block sweep ---
+    if which.startswith("smalld0"):  # level-0 shape; smalld0_BQ_BK
+        _, bq, bk = (which.split("_") + ["512", "1024"])[:3]
+        nm = f"smalld_q{int(bq)}k{int(bk)}"
+        probe(16, 4096, 8, 40, which=("xla", "flash", nm),
+              grad_which=("flash", nm), bq=int(bq), bk=int(bk))
+    if which.startswith("smalld1"):  # level-1 shape (d=80); smalld1_BQ_BK
+        _, bq, bk = (which.split("_") + ["512", "1024"])[:3]
+        nm = f"smalld_q{int(bq)}k{int(bk)}"
+        probe(16, 1024, 8, 80, which=("xla", "flash", nm),
+              grad_which=("flash", nm), bq=int(bq), bk=int(bk))

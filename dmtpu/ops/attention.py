@@ -143,7 +143,23 @@ def flash_mha(
         block_q_major_dkv=bqb, block_k_major_dkv=bkb, block_k_dkv=bkb,
         block_q_dkv=bqb, block_k_major_dq=bkb, block_k_dq=bkb, block_q_dq=bqb)
 
+    # Training-path small-d routing (round 4): the fused flash_small_d kernel
+    # replaces the stock two-kernel backward at SD's d=40/80 self-attention
+    # shapes.  Opt-in via DMTPU_SMALL_D=1 until chip-measured faster, then
+    # the default flips (see docs/ROADMAP.md round-4 attention table).
+    import os as _os
+
+    from dmtpu.ops import flash_small_d as _fsd
+
+    use_small_d = (
+        prefer_flash and d < 128
+        and _os.environ.get("DMTPU_SMALL_D", "0") == "1"
+        and _fsd.supported(sq, sk, d)
+    )
+
     def _flash(q, k, v):
+        if use_small_d:
+            return _fsd.flash_small_d_bshd(q, k, v, sm_scale).astype(q.dtype)
         # pallas kernel expects [B, H, S, D] and applies sm_scale to q.
         qt = jnp.swapaxes(q, 1, 2)
         kt = jnp.swapaxes(k, 1, 2)
