@@ -149,6 +149,46 @@ def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
     return batch / dt, dt
 
 
+def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
+                          steps: int = 50, reps: int = 5, ctx_dim: int = 768,
+                          interval: int = 2, skip: int = 3) -> Tuple[float, float]:
+    """DDIM-N sampling with DeepCache (full UNet every ``interval``-th step,
+    shallow ``skip``-level slice otherwise — dmtpu/diffusions/deepcache.py).
+
+    ``apply_fn_dc(p, x, t, ctx, dc_skip=..., dc_cached=...)`` is the raw
+    DeepCache-aware UNet apply (benchmarks build it from SDUNetModel).
+    """
+    from dmtpu.diffusions import DDIM
+    from dmtpu.diffusions.deepcache import deepcache_sample
+
+    sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=steps)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(lambda r: init(r, batch))(rng)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
+
+    @jax.jit
+    def sample(p, noise, key):
+        def full_fn(x, t):
+            return apply_fn_dc(p, x, t, ctx, dc_skip=skip)
+
+        def shallow_fn(x, t, u):
+            return apply_fn_dc(p, x, t, ctx, dc_skip=skip, dc_cached=u)[0]
+
+        return deepcache_sample(sampler, full_fn, shallow_fn, noise, key,
+                                interval=interval)
+
+    noise = jax.random.normal(rng, (batch, latent_hw, latent_hw, 4))
+    float(sample(params, noise, rng).sum())  # compile + warm-up
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = sample(params, noise, jax.random.fold_in(rng, i))
+        float(out.sum())
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    return batch / dt, dt
+
+
 def mfu(samples_per_sec: float, gflops_per_step: float, steps: int = 50,
         peak_tflops: float = V5E_PEAK_TFLOPS) -> float:
     return samples_per_sec * gflops_per_step * steps / (peak_tflops * 1e3)

@@ -298,6 +298,12 @@ if __name__ == "__main__":
         sd15(8, remat=True, ema=True)
     if which == "dit48nraf":
         dit(48, opt="adafactor", remat=False)
+    if which == "sd16attn":   # round 4: save-attn-outputs selective remat
+        sd15(16, remat="attn")
+    if which == "sd8attn":
+        sd15(8, remat="attn")
+    if which == "sd16attnema":
+        sd15(16, remat="attn", ema=True, ema_dtype="bfloat16")
     if which == "lora8":
         sd15_lora(8)
     if which == "lora16":

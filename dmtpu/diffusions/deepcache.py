@@ -1,0 +1,78 @@
+"""DeepCache serving loop: cached-UNet sampling (training-free speedup).
+
+Deep UNet features drift slowly between adjacent sampler steps (Ma et al.
+2023; PAPERS.md block-caching family).  ``SDUNetModel`` exposes DeepCache
+full/shallow passes (``dc_skip`` / ``dc_cached`` — models/stablediffusion/
+unet.py); this module owns the scanned sampler loop that alternates them:
+the full UNet every ``interval``-th step, the shallow slice (first/last
+``dc_skip`` skip-levels around the cached deep feature) in between.
+
+Beyond reference parity: the reference has no serving-acceleration layer.
+Quality/NFE trade-off is the paper's; the loop is exact when
+``interval=1`` (tested) and identical in structure to
+``DDPM.sample_loop``'s scan otherwise.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def deepcache_sample(
+    diffuser,
+    full_fn: Callable[[Array, Array], Tuple[Array, Array]],
+    shallow_fn: Callable[[Array, Array, Array], Array],
+    init_noise: Array,
+    rng: Array,
+    interval: int = 2,
+) -> Array:
+    """Run the diffuser's reverse tape with DeepCache model dispatch.
+
+    ``full_fn(x, t_batch) -> (model_out, cache)``;
+    ``shallow_fn(x, t_batch, cache) -> model_out`` (close over any
+    conditioning — context/y — in the callables).
+    Step 0 always runs full (there is no cache yet); afterwards every
+    ``interval``-th step refreshes the cache, the rest reuse it.
+    ``diffuser`` supplies the step math via its tape + ``denoise_step``
+    (DDIM/DDPM/Euler all expose that seam).
+    """
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
+    tape = {k: jnp.asarray(v) for k, v in diffuser.sampler_tape().items()}
+    n = int(tape["t"].shape[0])
+    keys = jax.random.split(rng, n)
+    x = init_noise.astype(jnp.float32)
+    b = x.shape[0]
+
+    # step 0: full pass, establishes the cache (and its shape for the scan)
+    c0 = {k: v[0] for k, v in tape.items()}
+    t0 = jnp.full((b,), c0["t"], jnp.int32)
+    out0, cache = full_fn(x, t0)
+    x = diffuser.denoise_step(out0, x, c0, keys[0])["sample"]
+    if n == 1:
+        return x
+
+    rest = {k: v[1:] for k, v in tape.items()}
+    steps = jnp.arange(1, n)
+
+    def body(carry, row):
+        xc, u = carry
+        c, key, i = row
+        t_batch = jnp.full((b,), c["t"], jnp.int32)
+
+        def full(xc, u):
+            return full_fn(xc, t_batch)
+
+        def shallow(xc, u):
+            return shallow_fn(xc, t_batch, u), u
+
+        out, u = jax.lax.cond(i % interval == 0, full, shallow, xc, u)
+        xc = diffuser.denoise_step(out, xc, c, key)["sample"]
+        return (xc, u), None
+
+    (x, _), _ = jax.lax.scan(body, (x, cache), (rest, keys[1:], steps))
+    return x

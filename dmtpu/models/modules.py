@@ -150,6 +150,10 @@ class SelfAttentionBlock(nn.Module):
         k = Dense(c, dtype=self.dtype, name="k")(tokens).reshape(b, h * w, self.n_heads, hd)
         v = Dense(c, dtype=self.dtype, name="v")(tokens).reshape(b, h * w, self.n_heads, hd)
         out = flash_mha(q, k, v)  # scale = hd**-0.5, matching reference; f32 softmax
+        # "attn" selective-remat tag (see stablediffusion/attention.py)
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
         out = Dense(c, dtype=self.dtype, name="proj")(out.reshape(b, h * w, c))
         return out.reshape(b, h, w, c) + x
 

@@ -79,6 +79,13 @@ class CrossAttention(nn.Module):
             v.reshape(b, tk, self.heads, self.dim_head),
             prefer_flash=self.prefer_flash,
         ).reshape(b, tq, inner)
+        # tag for the "attn" selective-remat policy: saving this one tensor
+        # (S x inner, small) spares the backward a full recompute of the
+        # flash forward kernel — the costliest recompute in the SD torso
+        # (dmtpu/ops/rematerialize.py).  Identity unless the policy asks.
+        from jax.ad_checkpoint import checkpoint_name
+
+        out = checkpoint_name(out, "attn_out")
         return nn.Dense(d, dtype=self.dtype, name="to_out__0")(out)
 
 

@@ -85,7 +85,26 @@ class SDUNetModel(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, timesteps: Array, context: Optional[Array] = None,
-                 y: Optional[Array] = None, *, train: bool = False) -> Array:
+                 y: Optional[Array] = None, *, train: bool = False,
+                 dc_skip: Optional[int] = None,
+                 dc_cached: Optional[Array] = None) -> Any:
+        """Forward pass; optionally a DeepCache full/shallow pass.
+
+        DeepCache (Ma et al. 2023, PAPERS.md block-caching family): deep UNet
+        features drift slowly across adjacent sampler steps, so a serving
+        loop can run the full UNet every N-th step and, in between, recompute
+        only the shallowest ``dc_skip`` skip-connection levels around a
+        cached deep feature.  Static modes (jit-friendly — callers pick the
+        branch with ``lax.cond`` over two jitted applies):
+
+        - ``dc_skip=None``            -> plain forward, returns ``out``.
+        - ``dc_skip=k, dc_cached=None`` -> FULL pass, returns ``(out, u)``
+          where ``u`` is the up-path feature entering the last ``k``
+          output blocks.
+        - ``dc_skip=k, dc_cached=u``  -> SHALLOW pass: runs only the first
+          ``k`` input blocks and last ``k`` output blocks, splicing ``u``;
+          returns ``(out, u)`` (cache passed through).
+        """
         nrb = self.num_res_blocks
         if isinstance(nrb, int):
             nrb = [nrb] * len(self.channel_mult)
@@ -147,6 +166,15 @@ class SDUNetModel(nn.Module):
                         if ckpt else ab(hh, context))
             return remat_call(ab, hh, policy=policy) if ckpt else ab(hh)
 
+        # DeepCache bookkeeping (all static): total skip-connection pops and
+        # the boundary output-block index where the cached feature splices in
+        shallow = dc_skip is not None and dc_cached is not None
+        total_pops = sum(n + 1 for n in nrb)
+        if dc_skip is not None:
+            if not 0 < dc_skip <= total_pops:
+                raise ValueError(f"dc_skip must be in [1, {total_pops}]")
+        boundary = total_pops - (dc_skip or 0)
+
         h = nn.Conv(self.model_channels, (3, 3), padding=1, dtype=dt,
                     name="input_blocks__0__0")(x.astype(dt) if dt else x)
         hs = [h]
@@ -155,63 +183,84 @@ class SDUNetModel(nn.Module):
         blk = 1
         for level, mult in enumerate(self.channel_mult):
             for nr in range(nrb[level]):
-                h = res(ResBlock(mult * self.model_channels, self.dropout,
-                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                                 name=f"input_blocks__{blk}__0"), h)
+                run = not shallow or len(hs) < dc_skip
+                if run:
+                    h = res(ResBlock(mult * self.model_channels, self.dropout,
+                                     use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                     name=f"input_blocks__{blk}__0"), h)
                 ch = mult * self.model_channels
                 if ds in self.attention_resolutions:
                     dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
                     if self.num_attention_blocks is None or nr < self.num_attention_blocks[level]:
-                        h = att(attn_or_st(f"input_blocks__{blk}__1", ch, tdepth[level], dsa), h)
-                hs.append(h)
+                        if run:
+                            h = att(attn_or_st(f"input_blocks__{blk}__1", ch, tdepth[level], dsa), h)
+                if run:
+                    hs.append(h)
                 blk += 1
             if level != len(self.channel_mult) - 1:
-                if self.resblock_updown:
-                    h = res(ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                                     down=True, dtype=dt, name=f"input_blocks__{blk}__0"), h)
-                else:
-                    h = _Downsample(ch, self.conv_resample, dtype=dt,
-                                    name=f"input_blocks__{blk}__0")(h)
-                hs.append(h)
+                if not shallow or len(hs) < dc_skip:
+                    if self.resblock_updown:
+                        h = res(ResBlock(ch, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                                         down=True, dtype=dt, name=f"input_blocks__{blk}__0"), h)
+                    else:
+                        h = _Downsample(ch, self.conv_resample, dtype=dt,
+                                        name=f"input_blocks__{blk}__0")(h)
+                    hs.append(h)
                 ds *= 2
                 blk += 1
 
-        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                         dtype=dt, name="middle_block__0"), h)
-        if not self.disable_middle_transformer:
-            h = att(attn_or_st("middle_block__1", ch, tdepth_mid, self.disable_middle_self_attn), h)
-        h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
-                         dtype=dt, name="middle_block__2"), h)
+        if not shallow:
+            h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                             dtype=dt, name="middle_block__0"), h)
+            if not self.disable_middle_transformer:
+                h = att(attn_or_st("middle_block__1", ch, tdepth_mid, self.disable_middle_self_attn), h)
+            h = res(ResBlock(None, self.dropout, use_scale_shift_norm=self.use_scale_shift_norm,
+                             dtype=dt, name="middle_block__2"), h)
 
+        dc_u = dc_cached
         blk = 0
+        pop_i = 0
         for level, mult in list(enumerate(self.channel_mult))[::-1]:
             for i in range(nrb[level] + 1):
-                h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = res(ResBlock(self.model_channels * mult, self.dropout,
-                                 use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
-                                 name=f"output_blocks__{blk}__0"), h)
+                run = not shallow or pop_i >= boundary
+                if run:
+                    if dc_skip is not None and pop_i == boundary:
+                        if shallow:
+                            h = dc_cached  # splice the cached deep feature
+                        else:
+                            dc_u = h  # capture: input to the first shallow block
+                    h = jnp.concatenate([h, hs.pop()], axis=-1)
+                    h = res(ResBlock(self.model_channels * mult, self.dropout,
+                                     use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
+                                     name=f"output_blocks__{blk}__0"), h)
                 ch = self.model_channels * mult
                 j = 1
                 if ds in self.attention_resolutions:
                     dsa = bool(self.disable_self_attentions[level]) if self.disable_self_attentions else False
                     if self.num_attention_blocks is None or i < self.num_attention_blocks[level]:
                         heads_up = self.num_heads_upsample if self.num_heads_upsample != -1 else None
-                        h = att(attn_or_st(f"output_blocks__{blk}__{j}", ch, tdepth[level], dsa,
-                                           heads_override=heads_up), h)
+                        if run:
+                            h = att(attn_or_st(f"output_blocks__{blk}__{j}", ch, tdepth[level], dsa,
+                                               heads_override=heads_up), h)
                         j += 1
                 if level and i == nrb[level]:
-                    if self.resblock_updown:
-                        h = res(ResBlock(ch, self.dropout,
-                                         use_scale_shift_norm=self.use_scale_shift_norm,
-                                         up=True, dtype=dt,
-                                         name=f"output_blocks__{blk}__{j}"), h)
-                    else:
-                        h = _Upsample(ch, self.conv_resample, dtype=dt,
-                                      name=f"output_blocks__{blk}__{j}")(h)
+                    if run:
+                        if self.resblock_updown:
+                            h = res(ResBlock(ch, self.dropout,
+                                             use_scale_shift_norm=self.use_scale_shift_norm,
+                                             up=True, dtype=dt,
+                                             name=f"output_blocks__{blk}__{j}"), h)
+                        else:
+                            h = _Upsample(ch, self.conv_resample, dtype=dt,
+                                          name=f"output_blocks__{blk}__{j}")(h)
                     ds //= 2
                 blk += 1
+                pop_i += 1
 
         h = h.astype(x.dtype)
         h = _gn32(h, "out__0")
         h = jax.nn.silu(h)
-        return _zeros_conv(self.out_channels, 3, "out__2")(h)
+        out = _zeros_conv(self.out_channels, 3, "out__2")(h)
+        if dc_skip is not None:
+            return out, dc_u
+        return out

@@ -28,17 +28,29 @@ POLICIES = {
     "everything": "everything_saveable",  # == no remat (debug)
 }
 
+# named-tensor policies: save ONLY checkpoint_name-tagged outputs.  "attn"
+# keeps each attention module's output (S x inner — ~300 MB at SD1.5 b16,
+# vs "dots"'s every-matmul OOM) so the backward never re-runs the flash
+# forward kernel, the single costliest recompute under full remat.
+NAMED_POLICIES = {
+    "attn": ("attn_out",),
+}
+
 
 def checkpoint_policy(name: Optional[str]) -> Optional[Callable[..., Any]]:
     """Resolve a policy name to a ``jax.checkpoint_policies`` callable
     (None -> None: full remat, the default)."""
     if name is None:
         return None
+    if name in NAMED_POLICIES:
+        return jax.checkpoint_policies.save_only_these_names(
+            *NAMED_POLICIES[name])
     try:
         return getattr(jax.checkpoint_policies, POLICIES[name])
     except KeyError:
         raise ValueError(
-            f"unknown checkpoint policy {name!r}; options: {sorted(POLICIES)}")
+            f"unknown checkpoint policy {name!r}; options: "
+            f"{sorted(POLICIES) + sorted(NAMED_POLICIES)}")
 
 
 def normalize_use_checkpoint(use_checkpoint):

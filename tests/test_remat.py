@@ -150,3 +150,36 @@ def test_selective_remat_policy_mdt_and_kid_guards():
 
     with pytest.raises(ValueError, match=">= 2 samples"):
         polynomial_mmd2(np.zeros((1, 4)), np.zeros((5, 4)))
+
+
+def test_attn_named_remat_policy_grads_identical():
+    """use_checkpoint='attn' (round 4: save_only_these_names over the
+    checkpoint_name('attn_out') tags in CrossAttention/AttentionBlock) gives
+    the same grads as full remat on the SD UNet, and resolves correctly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmtpu.models.stablediffusion.unet import SDUNetModel
+    from dmtpu.ops.rematerialize import normalize_use_checkpoint
+
+    kw = dict(in_channels=4, model_channels=32, out_channels=4,
+              num_res_blocks=1, attention_resolutions=(1,), channel_mult=(1, 2),
+              num_heads=4, use_spatial_transformer=True, transformer_depth=1,
+              context_dim=16, legacy=False)
+    m_full = SDUNetModel(use_checkpoint=True, **kw)
+    m_attn = SDUNetModel(use_checkpoint="attn", **kw)
+    x = jnp.ones((2, 8, 8, 4)) * 0.1
+    t = jnp.arange(2)
+    ctx = jax.random.normal(jax.random.PRNGKey(3), (2, 5, 16))
+    p = m_full.init(jax.random.PRNGKey(0), x, t, ctx)
+
+    g_full = jax.jit(jax.grad(
+        lambda pp: jnp.mean(m_full.apply(pp, x, t, ctx) ** 2)))(p)
+    g_attn = jax.jit(jax.grad(
+        lambda pp: jnp.mean(m_attn.apply(pp, x, t, ctx) ** 2)))(p)
+    for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_attn)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    on, pol = normalize_use_checkpoint("attn")
+    assert on and pol is not None
