@@ -114,28 +114,17 @@ def build_sdxl_unet(dtype=jnp.bfloat16):
     return model, init, apply_fn
 
 
-def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
-                reps: int = 5, ctx_dim: int = 768,
-                sampler: str = "ddim") -> Tuple[float, float]:
-    """Return (samples/sec, seconds/best-rep) for a scanned sampler loop.
+def _time_sample_fn(sample, init, latent_hw: int, batch: int,
+                    reps: int) -> Tuple[float, float]:
+    """Shared timing scaffold: init params, warm-up compile, min-of-reps.
 
-    ``sampler``: "ddim" or "dpmpp" (DPM-Solver++(2M) — the low-NFE serving
-    configuration, steps=20 matches DDIM-50 quality in the literature).
-    Timing uses a host transfer (float(sum)) per rep: on the axon transport
-    ``block_until_ready`` has been observed returning early.
+    One place owns the axon-transport timing discipline: a host transfer
+    (``float(out.sum())``) per rep, because ``block_until_ready`` has been
+    observed returning early on this transport.
+    ``sample(params, noise, key) -> [B, H, W, C]`` must be jitted.
     """
-    from dmtpu.diffusions import DDIM, DPMSolverPP
-
-    cls = {"ddim": DDIM, "dpmpp": DPMSolverPP}[sampler]
-    sampler = cls(total_steps=1000, respace_type="uniform", respace_steps=steps)
     rng = jax.random.PRNGKey(0)
     params = jax.jit(lambda r: init(r, batch))(rng)
-    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
-
-    @jax.jit
-    def sample(p, noise, key):
-        return sampler.sample(lambda x, t, **kw: apply_fn(p, x, t, ctx), noise, key)
-
     noise = jax.random.normal(rng, (batch, latent_hw, latent_hw, 4))
     float(sample(params, noise, rng).sum())  # compile + warm-up
 
@@ -147,6 +136,27 @@ def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     return batch / dt, dt
+
+
+def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
+                reps: int = 5, ctx_dim: int = 768,
+                sampler: str = "ddim") -> Tuple[float, float]:
+    """Return (samples/sec, seconds/best-rep) for a scanned sampler loop.
+
+    ``sampler``: "ddim" or "dpmpp" (DPM-Solver++(2M) — the low-NFE serving
+    configuration, steps=20 matches DDIM-50 quality in the literature).
+    """
+    from dmtpu.diffusions import DDIM, DPMSolverPP
+
+    cls = {"ddim": DDIM, "dpmpp": DPMSolverPP}[sampler]
+    sampler = cls(total_steps=1000, respace_type="uniform", respace_steps=steps)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
+
+    @jax.jit
+    def sample(p, noise, key):
+        return sampler.sample(lambda x, t, **kw: apply_fn(p, x, t, ctx), noise, key)
+
+    return _time_sample_fn(sample, init, latent_hw, batch, reps)
 
 
 def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
@@ -162,8 +172,6 @@ def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
     from dmtpu.diffusions.deepcache import deepcache_sample
 
     sampler = DDIM(total_steps=1000, respace_type="uniform", respace_steps=steps)
-    rng = jax.random.PRNGKey(0)
-    params = jax.jit(lambda r: init(r, batch))(rng)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
 
     @jax.jit
@@ -177,16 +185,7 @@ def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
         return deepcache_sample(sampler, full_fn, shallow_fn, noise, key,
                                 interval=interval)
 
-    noise = jax.random.normal(rng, (batch, latent_hw, latent_hw, 4))
-    float(sample(params, noise, rng).sum())  # compile + warm-up
-    times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = sample(params, noise, jax.random.fold_in(rng, i))
-        float(out.sum())
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    return batch / dt, dt
+    return _time_sample_fn(sample, init, latent_hw, batch, reps)
 
 
 def mfu(samples_per_sec: float, gflops_per_step: float, steps: int = 50,

@@ -44,15 +44,24 @@ def deepcache_sample(
         raise ValueError(f"interval must be >= 1, got {interval}")
     tape = {k: jnp.asarray(v) for k, v in diffuser.sampler_tape().items()}
     n = int(tape["t"].shape[0])
-    keys = jax.random.split(rng, n)
+    # Same key derivation as DDPM.sample_loop (ddpm.py): key[0] drives the
+    # reverse noise, key[1] the guidance hook — interval=1 is then
+    # trajectory-exact vs diffuser.sample() for stochastic samplers and
+    # guidance subclasses too, not just deterministic DDIM.
+    keys = jax.random.split(rng, (n, 2))
     x = init_noise.astype(jnp.float32)
     b = x.shape[0]
+
+    def denoise(model_out, xc, c, key):
+        out = diffuser.denoise_step(model_out, xc, c, key[0])
+        out = diffuser.apply_guidance(out, xc, c, key[1])
+        return out["sample"]
 
     # step 0: full pass, establishes the cache (and its shape for the scan)
     c0 = {k: v[0] for k, v in tape.items()}
     t0 = jnp.full((b,), c0["t"], jnp.int32)
     out0, cache = full_fn(x, t0)
-    x = diffuser.denoise_step(out0, x, c0, keys[0])["sample"]
+    x = denoise(out0, x, c0, keys[0])
     if n == 1:
         return x
 
@@ -71,7 +80,7 @@ def deepcache_sample(
             return shallow_fn(xc, t_batch, u), u
 
         out, u = jax.lax.cond(i % interval == 0, full, shallow, xc, u)
-        xc = diffuser.denoise_step(out, xc, c, key)["sample"]
+        xc = denoise(out, xc, c, key)
         return (xc, u), None
 
     (x, _), _ = jax.lax.scan(body, (x, cache), (rest, keys[1:], steps))

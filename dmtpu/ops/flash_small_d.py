@@ -82,6 +82,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, block_k):
 
 def _fwd(q, k, v, scale, block_q, block_k):
     bh, s, d = q.shape
+    if not supported(s, k.shape[-2], d, block_q, block_k):
+        raise ValueError(
+            f"flash_small_d needs S_q == S_k, D <= 128 and S divisible by "
+            f"both blocks; got S_q={s}, S_k={k.shape[-2]}, D={d}, "
+            f"block_q={block_q}, block_k={block_k} (check supported())")
     grid = (bh, s // block_q)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_k=block_k),
@@ -183,12 +188,15 @@ def _bwd(scale, block_q, block_k, res, do):
             pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0)),  # dv
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+            # dq is a revisited accumulator summed over nk k-blocks: keep it
+            # f32 in VMEM (bf16 read-modify-write would round every partial
+            # sum) and cast once at the end, matching the dk/dv carries.
+            jax.ShapeDtypeStruct((bh, s, d), jnp.float32),
             jax.ShapeDtypeStruct((bh, s, d), k.dtype),
             jax.ShapeDtypeStruct((bh, s, d), v.dtype),
         ],
     )(q, k, v, do, lse[:, None, :], delta)
-    return dq, dk, dv
+    return dq.astype(q.dtype), dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -201,8 +209,8 @@ def flash_small_d(q: Array, k: Array, v: Array, scale: float,
                   block_q: int = 512, block_k: int = 1024) -> Array:
     """Fused self-attention for [BH, S, D] with small D; returns [BH, S, D].
 
-    Constraints (asserted in ``supported``): S % block_q == 0,
-    S % block_k == 0, D <= 128, non-causal, S_q == S_k.
+    Constraints (validated at trace time; query ``supported`` to pre-check):
+    S % block_q == 0, S % block_k == 0, D <= 128, non-causal, S_q == S_k.
     """
     out, _ = _fwd(q, k, v, scale, block_q, block_k)
     return out

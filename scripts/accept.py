@@ -101,6 +101,16 @@ GROUP_CONFIG = {
     "cfg": "configs/ddpm_cfg_cifar10.yaml",
 }
 
+# group -> model prediction target; the pred_x0/pred_v checkpoints must be
+# evaluated with a matching sampler objective or every row is garbage.
+GROUP_OBJECTIVE = {
+    "ddpm": "pred_eps",
+    "ddpm_pred_x0": "pred_x0",
+    "ddpm_pred_v": "pred_v",
+    "ddpm_ip": "pred_eps",
+    "cfg": "pred_eps",
+}
+
 
 # ---------------------------------------------------------------------------
 # Comparison machinery (pure; self-tested without artifacts)
@@ -127,7 +137,9 @@ def diff_table(results: dict, fid_rel: float, fid_abs: float,
         ok_is = within_tolerance(meas["is_mean"], ref["is_mean"], is_rel, 0.0)
         ok = ok_fid and ok_is
         failed += 0 if ok else 1
-        why = "" if ok else (" (FID out)" if not ok_fid else " (IS out)")
+        out = [w for w, bad in (("FID out", not ok_fid), ("IS out", not ok_is))
+               if bad]
+        why = f" ({' + '.join(out)})" if out else ""
         lines.append(f"{rid:<18} {meas['fid']:>9.4f} {ref['fid']:>9.4f} "
                      f"{meas['is_mean']:>8.4f} {ref['is_mean']:>8.4f}  "
                      f"{'PASS' if ok else 'FAIL'}{why}")
@@ -183,9 +195,19 @@ def self_test() -> int:
     lines, failed = diff_table(fake, fid_rel=0.05, fid_abs=0.3, is_rel=0.03)
     assert failed == 1 and "FAIL (FID out)" in lines[2], lines
     # exactly-on-tolerance IS failure path
-    _, f2 = diff_table({"ddim_50": {"fid": 7.70, "is_mean": 8.0}},
-                       fid_rel=0.05, fid_abs=0.3, is_rel=0.03)
-    assert f2 == 1
+    l2, f2 = diff_table({"ddim_50": {"fid": 7.70, "is_mean": 8.0}},
+                        fid_rel=0.05, fid_abs=0.3, is_rel=0.03)
+    assert f2 == 1 and "(IS out)" in l2[1], l2
+    # both metrics out: the verdict must name BOTH (a hidden IS failure
+    # costs a full re-evaluation run to discover)
+    l3, f3 = diff_table({"ddim_50": {"fid": 99.0, "is_mean": 2.0}},
+                        fid_rel=0.05, fid_abs=0.3, is_rel=0.03)
+    assert f3 == 1 and "(FID out + IS out)" in l3[1], l3
+    # every pred_x0/pred_v row's group carries a matching objective
+    for rid, row in ROWS.items():
+        want = ("pred_x0" if "_x0_" in rid
+                else "pred_v" if "_v_" in rid else "pred_eps")
+        assert GROUP_OBJECTIVE[row["group"]] == want, (rid, row)
     print("accept.py self-test: machinery OK "
           f"({len(ROWS)} baseline rows registered)")
     return 0
@@ -237,7 +259,8 @@ def run_rows(args, row_ids) -> int:
 
     def build_diffuser(row):
         base = dict(total_steps=1000, respace_type="uniform",
-                    respace_steps=row["steps"])
+                    respace_steps=row["steps"],
+                    objective=GROUP_OBJECTIVE[row["group"]])
         if row["sampler"] == "ddpm":
             return DDPM(var_type=row["var_type"], **base)
         if row["sampler"] == "ddim":

@@ -93,3 +93,39 @@ def test_deepcache_loop_interval1_equals_plain_ddim(setup):
         denom = float(np.abs(np.asarray(want)).mean())
         rel = float(np.abs(np.asarray(got2) - np.asarray(want)).mean()) / denom
         assert rel < 0.5, f"deepcache trajectory diverged: rel err {rel}"
+
+
+def test_deepcache_interval1_exact_for_stochastic_and_guided(setup):
+    """interval=1 must be trajectory-exact vs diffuser.sample() even when the
+    sampler draws reverse noise (DDPM) and runs a guidance hook — i.e. the
+    loop derives keys exactly like sample_loop (split(rng, (n, 2)); key[0]
+    noise, key[1] guidance) and calls apply_guidance."""
+    from dmtpu.diffusions import DDPM
+
+    model, params, x, t, ctx = setup
+
+    class PerturbGuidedDDPM(DDPM):
+        def apply_guidance(self, out, xt, c, rng):
+            # rng-dependent so a key[1] mismatch is caught, not masked
+            bump = 0.01 * jax.random.normal(rng, out["sample"].shape)
+            return dict(out, sample=out["sample"] + bump)
+
+    diffuser = PerturbGuidedDDPM(total_steps=100, respace_type="uniform",
+                                 respace_steps=5, var_type="fixed_small")
+    noise = jax.random.normal(jax.random.PRNGKey(11), (2, 16, 16, 4))
+    key = jax.random.PRNGKey(12)
+    with jax.default_device(CPU):
+        want = jax.jit(lambda n, k: diffuser.sample(
+            lambda xx, tt, **kw: model.apply(params, xx, tt, ctx), n, k))(
+            noise, key)
+
+        def full_fn(xx, tt):
+            return model.apply(params, xx, tt, ctx, dc_skip=3)
+
+        def shallow_fn(xx, tt, u):
+            return model.apply(params, xx, tt, ctx, dc_skip=3, dc_cached=u)[0]
+
+        got = jax.jit(lambda n, k: deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, k, interval=1))(noise, key)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)

@@ -90,3 +90,46 @@ def test_supported_gate():
     assert not supported(4096, 77, 40)       # cross-attention
     assert not supported(4096, 4096, 160)    # d > 128
     assert not supported(1000, 1000, 40)     # unaligned S
+
+
+def test_unsupported_shapes_raise():
+    """Misaligned S must fail loudly at trace time, not silently attend to a
+    truncated key range (S=1536 with block_k=1024 would drop keys 1024+)."""
+    q = jnp.zeros((2, 1536, 40))
+    with pytest.raises(ValueError, match="flash_small_d"):
+        flash_small_d(q, q, q, 0.1, 512, 1024)
+    with pytest.raises(ValueError, match="flash_small_d"):
+        jax.grad(lambda x: flash_small_d(x, x, x, 0.1, 512, 1024).sum())(q)
+
+
+def test_bf16_grads_accumulate_in_f32():
+    """The revisited dq block must accumulate in f32: with bf16 inputs the
+    kernel's grads should match the f32 dense reference to bf16 resolution
+    even when the dq row is read-modify-written across several k blocks
+    (s=512, block_k=128 -> 4 partial sums per row)."""
+    rng = jax.random.PRNGKey(3)
+    kq, kk, kv, kg = jax.random.split(rng, 4)
+    bh, s, d = 2, 512, 40
+    qf = jax.random.normal(kq, (bh, s, d))
+    kf = jax.random.normal(kk, (bh, s, d))
+    vf = jax.random.normal(kv, (bh, s, d))
+    g = jax.random.normal(kg, (bh, s, d))
+    scale = d ** -0.5
+
+    def loss_flash(q, k, v):
+        out = flash_small_d(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                            v.astype(jnp.bfloat16), scale, 128, 128)
+        return jnp.sum(out.astype(jnp.float32) * g)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense_attn(q, k, v, scale) * g)
+
+    with jax.default_device(CPU), pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_flash, argnums=(0, 1, 2))(qf, kf, vf)
+    want = jax.grad(loss_dense, argnums=(0, 1, 2))(qf, kf, vf)
+    for name, a, b in zip("qkv", got, want):
+        # tolerance = bf16 rounding of inputs/P, NOT accumulation drift
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.15, rtol=0.05,
+                                   err_msg=f"d{name} mismatch (bf16)")
