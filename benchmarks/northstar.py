@@ -191,3 +191,19 @@ def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
 def mfu(samples_per_sec: float, gflops_per_step: float, steps: int = 50,
         peak_tflops: float = V5E_PEAK_TFLOPS) -> float:
     return samples_per_sec * gflops_per_step * steps / (peak_tflops * 1e3)
+
+
+if __name__ == "__main__":
+    # Focused headline run (SD1.5 DDIM-50 sampling only, ~3 min warm) so a
+    # dispatch A/B (e.g. env DMTPU_SMALL_D=1) doesn't need the full bench.py.
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16  # bench.py SD_BATCH
+    _, init, apply_fn = build_sd15_unet()
+    sps, dt = time_ddim50(init, apply_fn, latent_hw=64, batch=batch)
+    print(json.dumps({
+        "metric": "sd15_ddim50_samples_per_sec", "value": round(sps, 3),
+        "batch": batch, "mfu": round(mfu(sps, SD15_GFLOPS_PER_STEP), 3),
+    }), flush=True)

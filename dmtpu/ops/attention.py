@@ -99,6 +99,23 @@ def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int,
     )
 
 
+def _use_small_d(sq: int, sk: int, d: int) -> bool:
+    """Small-d routing gate (round 4): the fused flash_small_d kernel replaces
+    the stock kernels at SD's d=40/80 self-attention shapes.  The env opt-in
+    sits ABOVE the pad_wasteful heuristic in ``flash_mha`` so the A/B covers
+    the sampling path too (where XLA one-shot beats stock flash — the open
+    question is whether the fused kernel beats XLA).  Opt-in via
+    DMTPU_SMALL_D=1 until chip-measured faster, then the default flips
+    (see docs/ROADMAP.md round-4 attention table)."""
+    import os
+
+    from dmtpu.ops import flash_small_d as _fsd
+
+    return (d < 128
+            and os.environ.get("DMTPU_SMALL_D", "0") == "1"
+            and _fsd.supported(sq, sk, d))
+
+
 def flash_mha(
     q: Array,
     k: Array,
@@ -115,7 +132,10 @@ def flash_mha(
     b, sq, h, d = q.shape
     sk = k.shape[1]
     fa = _pallas_flash()
-    if fa is None or not _should_use_flash(b, sq, sk, h, d, prefer_flash):
+
+    use_small_d = _use_small_d(sq, sk, d)
+    if fa is None or not (
+            use_small_d or _should_use_flash(b, sq, sk, h, d, prefer_flash)):
         return mha(q, k, v, scale=scale)
 
     sm_scale = (d ** -0.5) if scale is None else scale
@@ -143,22 +163,9 @@ def flash_mha(
         block_q_major_dkv=bqb, block_k_major_dkv=bkb, block_k_dkv=bkb,
         block_q_dkv=bqb, block_k_major_dq=bkb, block_k_dq=bkb, block_q_dq=bqb)
 
-    # Training-path small-d routing (round 4): the fused flash_small_d kernel
-    # replaces the stock two-kernel backward at SD's d=40/80 self-attention
-    # shapes.  Opt-in via DMTPU_SMALL_D=1 until chip-measured faster, then
-    # the default flips (see docs/ROADMAP.md round-4 attention table).
-    import os as _os
-
-    from dmtpu.ops import flash_small_d as _fsd
-
-    use_small_d = (
-        prefer_flash and d < 128
-        and _os.environ.get("DMTPU_SMALL_D", "0") == "1"
-        and _fsd.supported(sq, sk, d)
-    )
-
     def _flash(q, k, v):
         if use_small_d:
+            from dmtpu.ops import flash_small_d as _fsd
             return _fsd.flash_small_d_bshd(q, k, v, sm_scale).astype(q.dtype)
         # pallas kernel expects [B, H, S, D] and applies sm_scale to q.
         qt = jnp.swapaxes(q, 1, 2)

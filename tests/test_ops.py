@@ -171,3 +171,31 @@ def test_flash_mha_differentiable():
         return jnp.sum(flash_mha(q, q, q) ** 2)
 
     jax.jit(jax.grad(loss)).lower(q)  # traces fwd+bwd on both platforms
+
+
+def test_small_d_gate_covers_sampling_path(monkeypatch):
+    """DMTPU_SMALL_D=1 must route SD self-attention shapes to the fused
+    kernel in SAMPLING graphs too (above the pad_wasteful XLA heuristic),
+    so the headline metric can be A/B'd by env alone; cross-attention and
+    unaligned shapes stay out regardless."""
+    from dmtpu.ops.attention import _use_small_d
+
+    monkeypatch.delenv("DMTPU_SMALL_D", raising=False)
+    assert not _use_small_d(4096, 4096, 40)          # default: off
+    monkeypatch.setenv("DMTPU_SMALL_D", "1")
+    assert _use_small_d(4096, 4096, 40)              # SD1.5 level-0 self-attn
+    assert _use_small_d(1024, 1024, 80)              # SD1.5 level-1
+    assert not _use_small_d(4096, 77, 40)            # cross-attention
+    assert not _use_small_d(1000, 1000, 40)          # unaligned S
+    assert not _use_small_d(4096, 4096, 160)         # d > 128
+
+
+def test_small_d_opt_in_lowers_in_sampling_graph(monkeypatch):
+    """With the env set, a non-training flash_mha at the headline shape must
+    still trace/lower on both platforms (CPU lowers to the mha fallback via
+    platform_dependent; the kernel branch is chip-only)."""
+    from dmtpu.ops.attention import flash_mha
+
+    monkeypatch.setenv("DMTPU_SMALL_D", "1")
+    q = jnp.zeros((2, 1024, 8, 40), jnp.float32)
+    jax.jit(lambda q: flash_mha(q, q, q)).lower(q)
