@@ -109,6 +109,13 @@ def main():
                              batch=SD_BATCH, steps=20, sampler="dpmpp")
         return {"sd15_dpmpp20_samples_per_sec": round(sps, 3)}
 
+    def pfdiff():
+        # PFDiff-1 serving config (round 4): the DDIM-50 grid at 26 NFE
+        # (dmtpu/diffusions/pfdiff.py — past-score springboard + future score)
+        sps, _ = time_ddim50(sd_init, sd_apply, latent_hw=64,
+                             batch=SD_BATCH, steps=50, sampler="pfdiff")
+        return {"sd15_pfdiff_grid50_samples_per_sec": round(sps, 3)}
+
     def deepcache():
         # DeepCache serving config (round 4): full UNet every 2nd DDIM-50
         # step, shallow 3-level slice otherwise (dmtpu/diffusions/deepcache.py)
@@ -143,6 +150,7 @@ def main():
     )
 
     soft("sd15_dpmpp", dpmpp)
+    soft("sd15_pfdiff", pfdiff)
     soft("sd15_deepcache", deepcache)
     soft("dit", dit)
     soft("sdxl", sdxl)

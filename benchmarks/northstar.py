@@ -143,12 +143,13 @@ def time_ddim50(init, apply_fn, latent_hw: int, batch: int, steps: int = 50,
                 sampler: str = "ddim") -> Tuple[float, float]:
     """Return (samples/sec, seconds/best-rep) for a scanned sampler loop.
 
-    ``sampler``: "ddim" or "dpmpp" (DPM-Solver++(2M) — the low-NFE serving
-    configuration, steps=20 matches DDIM-50 quality in the literature).
+    ``sampler``: "ddim", "dpmpp" (DPM-Solver++(2M) — the low-NFE serving
+    configuration, steps=20 matches DDIM-50 quality in the literature) or
+    "pfdiff" (PFDiff-1: same ``steps`` grid at ~steps/2 model calls).
     """
-    from dmtpu.diffusions import DDIM, DPMSolverPP
+    from dmtpu.diffusions import DDIM, DPMSolverPP, PFDiffDDIM
 
-    cls = {"ddim": DDIM, "dpmpp": DPMSolverPP}[sampler]
+    cls = {"ddim": DDIM, "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}[sampler]
     sampler = cls(total_steps=1000, respace_type="uniform", respace_steps=steps)
     ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
 

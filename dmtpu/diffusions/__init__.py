@@ -9,6 +9,7 @@ from dmtpu.diffusions.ddpm_ip import DDPM_IP
 from dmtpu.diffusions.euler import EulerSampler
 from dmtpu.diffusions.heun import HeunSampler
 from dmtpu.diffusions.dpm_solver import DPMSolverPP, DPMSolverPPCFG
+from dmtpu.diffusions.pfdiff import PFDiffDDIM, PFDiffDDIMCFG
 
 __all__ = [
     "get_beta_schedule",
@@ -22,4 +23,6 @@ __all__ = [
     "HeunSampler",
     "DPMSolverPP",
     "DPMSolverPPCFG",
+    "PFDiffDDIM",
+    "PFDiffDDIMCFG",
 ]

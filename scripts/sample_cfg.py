@@ -21,7 +21,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG  # noqa: E402
+from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG, PFDiffDDIMCFG  # noqa: E402
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
@@ -30,7 +30,8 @@ from dmtpu.utils.misc import amortize  # noqa: E402
 
 def main():
     p = base_parser()
-    p.add_argument("--sampler", type=str, choices=["ddpm", "ddim", "dpmpp"], default="ddpm")
+    p.add_argument("--sampler", type=str, choices=["ddpm", "ddim", "dpmpp", "pfdiff"],
+                   default="ddpm")
     p.add_argument("--guidance_scale", type=float, required=True,
                    help="s=0: uncond; s=1: plain conditional; s>1: guided")
     p.add_argument("--class_ids", type=int, nargs="+", default=None,
@@ -56,6 +57,8 @@ def main():
         diffuser = DDIMCFG(**diffusion_params(args, conf, **extra, eta=args.ddim_eta))
     elif args.sampler == "dpmpp":
         diffuser = DPMSolverPPCFG(**diffusion_params(args, conf, **extra))
+    elif args.sampler == "pfdiff":
+        diffuser = PFDiffDDIMCFG(**diffusion_params(args, conf, **extra))
     else:
         diffuser = DDPMCFG(**diffusion_params(args, conf, **extra))
 

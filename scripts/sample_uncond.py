@@ -26,7 +26,14 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from dmtpu.data import ImageDir  # noqa: E402
-from dmtpu.diffusions import DDIM, DDPM, DPMSolverPP, EulerSampler, HeunSampler  # noqa: E402
+from dmtpu.diffusions import (  # noqa: E402
+    DDIM,
+    DDPM,
+    DPMSolverPP,
+    EulerSampler,
+    HeunSampler,
+    PFDiffDDIM,
+)
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image, save_image_grid  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
@@ -44,8 +51,12 @@ COMPATIBLE_SAMPLER_MODE = dict(
     ddim=["sample", "denoise", "progressive", "interpolate", "reconstruction"],
     euler=["sample", "denoise", "progressive", "interpolate"],
     heun=["sample", "denoise", "progressive", "interpolate"],
-    # beyond parity: DPM-Solver++(2M) (no reference counterpart)
+    # beyond parity: DPM-Solver++(2M) / PFDiff-1 (no reference counterpart).
+    # pfdiff excludes denoise/progressive: its collected trajectory is per
+    # PAIR of grid transitions, so the reference's S-step grid math in those
+    # modes does not apply.
     dpmpp=["sample", "denoise", "progressive", "interpolate"],
+    pfdiff=["sample", "interpolate"],
 )
 
 
@@ -72,7 +83,7 @@ def build_diffuser(args, conf):
     if args.sampler == "ddim":
         extra["eta"] = args.ddim_eta
     cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-           "dpmpp": DPMSolverPP}[args.sampler]
+           "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}[args.sampler]
     return cls(**diffusion_params(args, conf, **extra))
 
 

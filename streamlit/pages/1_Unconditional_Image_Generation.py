@@ -15,7 +15,8 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from dmtpu.diffusions import DDIM, DDPM, EulerSampler, HeunSampler, DPMSolverPP
+from dmtpu.diffusions import (
+    DDIM, DDPM, DPMSolverPP, EulerSampler, HeunSampler, PFDiffDDIM)
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import make_grid, to_pil
 
@@ -24,7 +25,7 @@ WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
 # optional: directory scanned into a Model dropdown (reference :141-148)
 WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP}
+            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}
 
 
 @st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)

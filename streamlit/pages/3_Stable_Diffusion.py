@@ -21,7 +21,7 @@ setup_jax()
 import jax
 import jax.numpy as jnp
 
-from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG
+from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG, PFDiffDDIMCFG
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import to_pil
 
@@ -32,7 +32,8 @@ WEIGHTS = os.environ.get("DMTPU_SD_WEIGHTS")
 WEIGHTS_DIR = os.environ.get("DMTPU_SD_WEIGHTS_DIR")
 TOKENIZER = os.environ.get("DMTPU_CLIP_TOKENIZER")
 
-_SAMPLERS = {"ddim": DDIMCFG, "ddpm": DDPMCFG, "dpmpp": DPMSolverPPCFG}
+_SAMPLERS = {"ddim": DDIMCFG, "ddpm": DDPMCFG, "dpmpp": DPMSolverPPCFG,
+             "pfdiff": PFDiffDDIMCFG}
 
 
 @st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
@@ -62,7 +63,7 @@ if WEIGHTS_DIR:
     weights_choice = _found and st.selectbox("Model", options=_found) or None
 prompt = st.text_area("Prompt", "a photograph of an astronaut riding a horse")
 negative = st.text_area("Negative prompt", "")
-sampler = st.selectbox("Sampler", ["ddim", "ddpm", "dpmpp"])
+sampler = st.selectbox("Sampler", ["ddim", "ddpm", "dpmpp", "pfdiff"])
 steps = st.slider("Steps", 5, 200, 50)
 scale = st.slider("CFG scale", 1.0, 20.0, 7.5)
 height = st.select_slider("Height", options=list(range(128, 1025, 128)), value=512)

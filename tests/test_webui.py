@@ -76,6 +76,9 @@ def test_webui_uncond_sample_roundtrip(app_mod, tmp_path):
         status, body = _get(port, "/sample?sampler=ddim&steps=4&n=2&seed=1")
         assert status == 200
         assert "data:image/png;base64," in body, body[:500]
+        # beyond-parity low-NFE sampler over the same grid
+        status, body = _get(port, "/sample?sampler=pfdiff&steps=4&n=2&seed=1")
+        assert status == 200 and "data:image/png;base64," in body, body[:500]
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404
@@ -104,6 +107,9 @@ def test_webui_cfg_branch(app_mod, tmp_path):
         assert status == 200 and "data:image/png;base64," in body, body[:500]
         # unconditional on the conditional model rides the null-class row
         status, body = _get(port, "/sample?sampler=ddpm&steps=4&n=2&seed=1&y=-1")
+        assert status == 200 and "data:image/png;base64," in body, body[:500]
+        # PFDiff-CFG branch (guided springboard/future scores)
+        status, body = _get(port, "/sample?sampler=pfdiff&steps=4&n=2&seed=1&y=3&gs=2")
         assert status == 200 and "data:image/png;base64," in body, body[:500]
     finally:
         server.shutdown()

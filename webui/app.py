@@ -36,12 +36,12 @@ import numpy as np  # noqa: E402
 
 from dmtpu.diffusions import (  # noqa: E402
     DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, DPMSolverPPCFG, EulerSampler,
-    HeunSampler)
+    HeunSampler, PFDiffDDIM, PFDiffDDIMCFG)
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.image import make_grid, to_pil  # noqa: E402
 
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP}
+            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}
 
 PAGE = """<!doctype html>
 <html><head><title>dmtpu sampler</title><style>
@@ -52,7 +52,7 @@ img{{image-rendering:pixelated;border:1px solid #ccc;margin-top:1em}}
 <h2>dmtpu — TPU-native diffusion sampler</h2>
 <form action="/sample" method="get">
 <p><label>Sampler</label><select name="sampler">
-<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option>
+<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option><option>pfdiff</option>
 </select></p>
 <p><label>Steps</label><input name="steps" type="number" value="50"></p>
 <p><label>Variance</label><select name="var_type">
@@ -99,7 +99,8 @@ class App:
         key = (sampler, steps, var_type, y >= 0, gs)
         if key not in self._cache:
             if y >= 0 and self.cond:
-                cls = {"ddim": DDIMCFG, "dpmpp": DPMSolverPPCFG}.get(sampler, DDPMCFG)
+                cls = {"ddim": DDIMCFG, "dpmpp": DPMSolverPPCFG,
+                       "pfdiff": PFDiffDDIMCFG}.get(sampler, DDPMCFG)
                 diffuser = cls(guidance_scale=gs, **dp)
 
                 def fn(p, noise, k, yy):
