@@ -198,9 +198,13 @@ if __name__ == "__main__":
     # Focused headline run (SD1.5 DDIM-50 sampling only, ~3 min warm) so a
     # dispatch A/B (e.g. env DMTPU_SMALL_D=1) doesn't need the full bench.py.
     import json
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from dmtpu.utils.setup import setup_jax
+
+    setup_jax()  # persistent compile cache — the A/B re-runs this twice
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16  # bench.py SD_BATCH
     _, init, apply_fn = build_sd15_unet()
     sps, dt = time_ddim50(init, apply_fn, latent_hw=64, batch=batch)

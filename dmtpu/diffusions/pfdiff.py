@@ -180,9 +180,11 @@ class PFDiffDDIMCFG(PFDiffDDIM, DDIMCFG):
         pred_eps, _ = self._cfg_model_output(model_fn, x, c, model_kwargs)
         return pred_eps
 
-    # DDIMCFG.sample_loop/sample thread uncond_conditioning through
-    # model_kwargs under the reserved key and delegate via super() — their
-    # MRO lands on PFDiffDDIM's loop above.
+    # These overrides are REQUIRED, not redundant: without them the MRO
+    # resolves sample_loop/sample to PFDiffDDIM's (uncond-less) signatures,
+    # which would silently bind uncond_conditioning to model_kwargs.  They
+    # mirror DDIMCFG's threading of the uncond branch under the reserved
+    # model_kwargs key, then run PFDiffDDIM's loop explicitly.
     def sample_loop(
         self,
         model_fn: ModelFn,

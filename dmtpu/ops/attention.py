@@ -109,11 +109,16 @@ def _use_small_d(sq: int, sk: int, d: int) -> bool:
     (see docs/ROADMAP.md round-4 attention table)."""
     import os
 
-    from dmtpu.ops import flash_small_d as _fsd
-
-    return (d < 128
-            and os.environ.get("DMTPU_SMALL_D", "0") == "1"
-            and _fsd.supported(sq, sk, d))
+    if d >= 128 or os.environ.get("DMTPU_SMALL_D", "0") != "1":
+        return False
+    try:
+        # after the env short-circuit: flash_small_d imports pallas TPU
+        # modules at top level, and a pallas-less JAX build must keep the
+        # plain mha fallback (same contract as _pallas_flash's try/except)
+        from dmtpu.ops import flash_small_d as _fsd
+    except Exception:  # pragma: no cover
+        return False
+    return _fsd.supported(sq, sk, d)
 
 
 def flash_mha(

@@ -191,11 +191,15 @@ def test_small_d_gate_covers_sampling_path(monkeypatch):
 
 
 def test_small_d_opt_in_lowers_in_sampling_graph(monkeypatch):
-    """With the env set, a non-training flash_mha at the headline shape must
-    still trace/lower on both platforms (CPU lowers to the mha fallback via
+    """With the env set, a non-training flash_mha at a shape the XLA
+    pad_wasteful heuristic would otherwise claim (b*h >= 128) must still
+    trace/lower on both platforms (CPU lowers to the mha fallback via
     platform_dependent; the kernel branch is chip-only)."""
-    from dmtpu.ops.attention import flash_mha
+    from dmtpu.ops.attention import _should_use_flash, flash_mha
 
+    # b*h = 16*8 = 128: without the opt-in this shape takes the XLA one-shot
+    # path — so the lowering below genuinely exercises the small-d gate
+    assert not _should_use_flash(16, 1024, 1024, 8, 40, prefer_flash=False)
     monkeypatch.setenv("DMTPU_SMALL_D", "1")
-    q = jnp.zeros((2, 1024, 8, 40), jnp.float32)
+    q = jnp.zeros((16, 1024, 8, 40), jnp.float32)
     jax.jit(lambda q: flash_mha(q, q, q)).lower(q)
