@@ -74,6 +74,7 @@ from northstar import (  # noqa: E402
     mfu,
     time_ddim50,
     time_ddim50_deepcache,
+    time_pfdiff_deepcache,
 )
 
 SD_BATCH = 16
@@ -149,9 +150,17 @@ def main():
         sd15_train_metrics,
     )
 
+    def pfdiff_deepcache():
+        # composed serving stack: PFDiff-1 on the DDIM-50 grid (26 calls)
+        # x DeepCache (every 2nd call full, shallow otherwise)
+        sps, _ = time_pfdiff_deepcache(sd_init, sd_model.apply, latent_hw=64,
+                                       batch=SD_BATCH, interval=2, skip=3)
+        return {"sd15_pfdiff_deepcache_samples_per_sec": round(sps, 3)}
+
     soft("sd15_dpmpp", dpmpp)
     soft("sd15_pfdiff", pfdiff)
     soft("sd15_deepcache", deepcache)
+    soft("sd15_pfdiff_deepcache", pfdiff_deepcache)
     soft("dit", dit)
     soft("sdxl", sdxl)
     soft("sd15_train", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH))

@@ -189,6 +189,34 @@ def time_ddim50_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
     return _time_sample_fn(sample, init, latent_hw, batch, reps)
 
 
+def time_pfdiff_deepcache(init, apply_fn_dc, latent_hw: int, batch: int,
+                          steps: int = 50, reps: int = 5, ctx_dim: int = 768,
+                          interval: int = 2, skip: int = 3) -> Tuple[float, float]:
+    """PFDiff-1 over the DDIM-``steps`` grid WITH DeepCache dispatch — the
+    composed serving stack (~steps/2 model calls, 1/interval of them full)."""
+    from dmtpu.diffusions import PFDiffDDIM
+    from dmtpu.diffusions.deepcache import pfdiff_deepcache_sample
+
+    sampler = PFDiffDDIM(total_steps=1000, respace_type="uniform",
+                         respace_steps=steps)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (batch, 77, ctx_dim))
+
+    @jax.jit
+    def sample(p, noise, key):
+        del key  # deterministic
+
+        def full_fn(x, t):
+            return apply_fn_dc(p, x, t, ctx, dc_skip=skip)
+
+        def shallow_fn(x, t, u):
+            return apply_fn_dc(p, x, t, ctx, dc_skip=skip, dc_cached=u)[0]
+
+        return pfdiff_deepcache_sample(sampler, full_fn, shallow_fn, noise,
+                                       interval=interval)
+
+    return _time_sample_fn(sample, init, latent_hw, batch, reps)
+
+
 def mfu(samples_per_sec: float, gflops_per_step: float, steps: int = 50,
         peak_tflops: float = V5E_PEAK_TFLOPS) -> float:
     return samples_per_sec * gflops_per_step * steps / (peak_tflops * 1e3)

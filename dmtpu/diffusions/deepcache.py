@@ -85,3 +85,79 @@ def deepcache_sample(
 
     (x, _), _ = jax.lax.scan(body, (x, cache), (rest, keys[1:], steps))
     return x
+
+
+def pfdiff_deepcache_sample(
+    diffuser,
+    full_fn: Callable[[Array, Array], Tuple[Array, Array]],
+    shallow_fn: Callable[[Array, Array, Array], Array],
+    init_noise: Array,
+    interval: int = 2,
+) -> Array:
+    """PFDiff-1 grid traversal with DeepCache model dispatch.
+
+    Composition of the two training-free serving accelerations — the cost
+    reduction is multiplicative: PFDiff-1 spends ~S/2 model calls on an
+    S-step DDIM grid, and DeepCache makes all but every ``interval``-th of
+    those calls a shallow cached pass.
+
+    ``diffuser`` must be a ``PFDiffDDIM`` (deterministic, eta=0 — hence no
+    rng argument); ``full_fn(x, t_batch) -> (model_out, cache)`` and
+    ``shallow_fn(x, t_batch, cache) -> model_out`` close over conditioning
+    exactly as in ``deepcache_sample``.  Model-call 0 (the PFDiff anchor)
+    always runs full to establish the cache; ``interval=1`` reproduces plain
+    ``PFDiffDDIM.sample`` exactly (tested).  CFG is not plumbed here — wrap
+    the guided combination inside ``full_fn``/``shallow_fn`` if needed.
+    """
+    if interval < 1:
+        raise ValueError(f"interval must be >= 1, got {interval}")
+    anchor, sp_t, mid_t, fl_t, trail = diffuser.pfdiff_tapes()
+    dev = lambda tape: {k: jnp.asarray(v) for k, v in tape.items()}  # noqa: E731
+    row0 = lambda tape: {k: jnp.asarray(v[0]) for k, v in tape.items()}  # noqa: E731
+
+    x = init_noise.astype(jnp.float32)
+    b = x.shape[0]
+
+    def eps_from(out, xc, c):
+        return diffuser.predict(out, xc, c)["pred_eps"]
+
+    # anchor (call 0): always full — establishes the cache
+    c0 = row0(anchor)
+    out0, cache = full_fn(x, jnp.full((b,), c0["t"], jnp.int32))
+    eps = eps_from(out0, x, c0)
+    x, _ = diffuser._jump_with_eps(eps, x, c0)
+
+    n_pairs = 0 if sp_t is None else len(sp_t["t"])
+    if n_pairs:
+        # call index of pair k is k+1; refresh the cache every interval-th
+        is_full = (jnp.arange(1, n_pairs + 1) % interval) == 0
+
+        def body(carry, row):
+            xc, eps_buf, u = carry
+            cs, cm, cf, refresh = row
+            x_sb, _ = diffuser._jump_with_eps(eps_buf, xc, cs)
+            t_mid = jnp.full((b,), cm["t"], jnp.int32)
+
+            def full(xs, u):
+                return full_fn(xs, t_mid)
+
+            def shallow(xs, u):
+                return shallow_fn(xs, t_mid, u), u
+
+            out, u = jax.lax.cond(refresh, full, shallow, x_sb, u)
+            eps_new = eps_from(out, x_sb, cm)
+            x_next, _ = diffuser._jump_with_eps(eps_new, xc, cf)
+            return (x_next, eps_new, u), None
+
+        (x, eps, cache), _ = jax.lax.scan(
+            body, (x, eps, cache), (dev(sp_t), dev(mid_t), dev(fl_t), is_full))
+
+    if trail is not None:
+        ct = row0(trail)
+        t_tr = jnp.full((b,), ct["t"], jnp.int32)
+        if (n_pairs + 1) % interval == 0:  # static call index
+            out_tr, cache = full_fn(x, t_tr)
+        else:
+            out_tr = shallow_fn(x, t_tr, cache)
+        x, _ = diffuser._jump_with_eps(eps_from(out_tr, x, ct), x, ct)
+    return x

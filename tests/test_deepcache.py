@@ -95,6 +95,44 @@ def test_deepcache_loop_interval1_equals_plain_ddim(setup):
         assert rel < 0.5, f"deepcache trajectory diverged: rel err {rel}"
 
 
+def test_pfdiff_deepcache_interval1_equals_plain_pfdiff(setup):
+    """The PFDiff × DeepCache composition with interval=1 (every call full)
+    must reproduce plain PFDiffDDIM.sample exactly; interval=2 must reuse the
+    cache (trajectory differs) while staying sane."""
+    from dmtpu.diffusions import PFDiffDDIM
+    from dmtpu.diffusions.deepcache import pfdiff_deepcache_sample
+
+    model, params, x, t, ctx = setup
+    # explicit 8-point grid: anchor + 3 pairs + trailing step all exercised
+    diffuser = PFDiffDDIM(
+        total_steps=100,
+        respaced_seq=np.linspace(0, 99, 8).round().astype(np.int64))
+    noise = jax.random.normal(jax.random.PRNGKey(13), (2, 16, 16, 4))
+    with jax.default_device(CPU):
+        want = jax.jit(lambda n: diffuser.sample(
+            lambda xx, tt, **kw: model.apply(params, xx, tt, ctx), n,
+            jax.random.PRNGKey(0)))(noise)
+
+        def full_fn(xx, tt):
+            return model.apply(params, xx, tt, ctx, dc_skip=3)
+
+        def shallow_fn(xx, tt, u):
+            return model.apply(params, xx, tt, ctx, dc_skip=3, dc_cached=u)[0]
+
+        got1 = jax.jit(lambda n: pfdiff_deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, interval=1))(noise)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+        got2 = jax.jit(lambda n: pfdiff_deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, interval=2))(noise)
+        assert np.all(np.isfinite(np.asarray(got2)))
+        assert not np.allclose(np.asarray(got2), np.asarray(want), atol=1e-6)
+        denom = float(np.abs(np.asarray(want)).mean())
+        rel = float(np.abs(np.asarray(got2) - np.asarray(want)).mean()) / denom
+        assert rel < 0.5, f"pfdiff+deepcache trajectory diverged: rel err {rel}"
+
+
 def test_deepcache_interval1_exact_for_stochastic_and_guided(setup):
     """interval=1 must be trajectory-exact vs diffuser.sample() even when the
     sampler draws reverse noise (DDPM) and runs a guidance hook — i.e. the
