@@ -45,15 +45,18 @@ A100_BASELINE_SDXL = 0.18
 V5E_PEAK_TFLOPS = 197.0
 
 
-def build_sd15_unet(dtype=jnp.bfloat16):
-    """SD1.5 UNet per reference weights/stablediffusion/v1-inference.yaml."""
+def build_sd15_unet(dtype=jnp.bfloat16, tome_ratio: float = 0.0):
+    """SD1.5 UNet per reference weights/stablediffusion/v1-inference.yaml.
+
+    ``tome_ratio>0`` enables Token Merging at the 64x64 attention level
+    (dmtpu/ops/tome.py; serving-only, params identical to the baseline)."""
     from dmtpu.models.stablediffusion.unet import SDUNetModel
 
     model = SDUNetModel(
         in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         use_spatial_transformer=True, transformer_depth=1, context_dim=768,
-        legacy=False, torso_dtype=dtype)
+        legacy=False, torso_dtype=dtype, tome_ratio=tome_ratio)
 
     def init(rng, batch):
         x = jnp.zeros((batch, 64, 64, 4))
@@ -234,9 +237,11 @@ if __name__ == "__main__":
 
     setup_jax()  # persistent compile cache — the A/B re-runs this twice
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16  # bench.py SD_BATCH
-    _, init, apply_fn = build_sd15_unet()
+    tome = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0  # ToMe A/B knob
+    _, init, apply_fn = build_sd15_unet(tome_ratio=tome)
     sps, dt = time_ddim50(init, apply_fn, latent_hw=64, batch=batch)
     print(json.dumps({
         "metric": "sd15_ddim50_samples_per_sec", "value": round(sps, 3),
-        "batch": batch, "mfu": round(mfu(sps, SD15_GFLOPS_PER_STEP), 3),
+        "batch": batch, "tome_ratio": tome,
+        "mfu": round(mfu(sps, SD15_GFLOPS_PER_STEP), 3),
     }), flush=True)

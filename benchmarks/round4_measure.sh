@@ -17,14 +17,15 @@ run python benchmarks/attn_probe.py smalld0            # blocks 512/1024
 run python benchmarks/attn_probe.py smalld0_256_1024
 run python benchmarks/attn_probe.py smalld0_512_512
 run python benchmarks/attn_probe.py smalld1
-# 2. headline sampling A/B: XLA one-shot dispatch vs small-d kernel
+# 2. headline sampling A/B: XLA one-shot dispatch vs small-d kernel vs ToMe
 run python benchmarks/northstar.py
 run env DMTPU_SMALL_D=1 python benchmarks/northstar.py
+run python benchmarks/northstar.py 16 0.5   # ToMe ratio 0.5
 # 3. SD train-step A/B: stock flash vs small-d kernel vs attn-remat policy
 run python benchmarks/train_probe.py sd16
 run env DMTPU_SMALL_D=1 python benchmarks/train_probe.py sd16
 run python benchmarks/train_probe.py sd16attn
 run env DMTPU_SMALL_D=1 python benchmarks/train_probe.py sd16attn
-# 4. headline bench (includes the new deepcache extra + regression guard)
+# 4. headline bench (deepcache/pfdiff/tome extras + regression guard)
 run python bench.py
 echo "DONE -> $LOG" | tee -a "$LOG"

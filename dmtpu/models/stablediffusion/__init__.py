@@ -120,6 +120,18 @@ class StableDiffusion:
         self.params = {"unet": unet_p, "vae": vae_p, "text_encoder": text_p}
         return self.params
 
+    def set_tome(self, ratio: float, sx: int = 2, sy: int = 2,
+                 max_downsample: int = 1, seed: Optional[int] = None):
+        """Enable (ratio>0) / disable (0) Token Merging on the UNet.
+
+        Serving-only acceleration (dmtpu/ops/tome.py): rebinds the UNet
+        module with ToMe fields — NO parameters change, so already-loaded
+        ``self.params`` keep working.  Returns self for chaining."""
+        self.unet = self.unet.clone(
+            tome_ratio=float(ratio), tome_sx=int(sx), tome_sy=int(sy),
+            tome_max_downsample=int(max_downsample), tome_seed=seed)
+        return self
+
     # --- functional pieces (explicit params for jit closures) ----------
     def unet_forward(self, params: Dict, x: Array, timesteps: Array, context: Array) -> Array:
         return self.unet.apply(params["unet"], x, timesteps, context=context)

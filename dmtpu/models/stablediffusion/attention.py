@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dmtpu.ops.attention import flash_mha
+from dmtpu.ops.tome import bipartite_soft_matching_2d, identity_merge, tome_r
 
 Array = jax.Array
 
@@ -90,21 +91,41 @@ class CrossAttention(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """(reference: models/stablediffusion/attention.py:199-228)"""
+    """(reference: models/stablediffusion/attention.py:199-228)
+
+    ``tome_ratio > 0`` (serving only; adds NO params) turns on Token Merging
+    around the self-attention: the block input picks the matching (tomesd's
+    call structure), attn1 runs on ``N - r`` tokens, and the output is
+    unmerged before the residual add (``dmtpu/ops/tome.py``).  Skipped when
+    attn1 is actually cross-attention (``disable_self_attn``)."""
 
     n_heads: int
     d_head: int
     gated_ff: bool = True
     disable_self_attn: bool = False
     prefer_flash: bool = False
+    tome_ratio: float = 0.0
+    tome_sx: int = 2
+    tome_sy: int = 2
+    tome_seed: Optional[int] = None
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
-        x = CrossAttention(self.n_heads, self.d_head, prefer_flash=self.prefer_flash,
-                           dtype=self.dtype, name="attn1")(
-            nn.LayerNorm(epsilon=1e-5, name="norm1")(x),
-            context=context if self.disable_self_attn else None) + x
+    def __call__(self, x: Array, context: Optional[Array] = None,
+                 hw: Optional[Sequence[int]] = None) -> Array:
+        merge, unmerge = identity_merge()
+        if self.tome_ratio > 0 and hw is not None and not self.disable_self_attn:
+            h, w = hw
+            r = tome_r(x.shape[1], self.tome_ratio, h, w, self.tome_sx, self.tome_sy)
+            if r > 0:
+                merge, unmerge = bipartite_soft_matching_2d(
+                    x, h, w, sx=self.tome_sx, sy=self.tome_sy, r=r,
+                    seed=self.tome_seed)
+        x = unmerge(CrossAttention(self.n_heads, self.d_head,
+                                   prefer_flash=self.prefer_flash,
+                                   dtype=self.dtype, name="attn1")(
+            merge(nn.LayerNorm(epsilon=1e-5, name="norm1")(x)),
+            context=context if self.disable_self_attn else None)) + x
         x = CrossAttention(self.n_heads, self.d_head, prefer_flash=self.prefer_flash,
                            dtype=self.dtype, name="attn2")(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context=context) + x
@@ -122,6 +143,10 @@ class SpatialTransformer(nn.Module):
     disable_self_attn: bool = False
     use_linear: bool = False
     prefer_flash: bool = False
+    tome_ratio: float = 0.0
+    tome_sx: int = 2
+    tome_sy: int = 2
+    tome_seed: Optional[int] = None
     dtype: Any = None
 
     @nn.compact
@@ -139,8 +164,11 @@ class SpatialTransformer(nn.Module):
             x = BasicTransformerBlock(self.n_heads, self.d_head,
                                       disable_self_attn=self.disable_self_attn,
                                       prefer_flash=self.prefer_flash,
+                                      tome_ratio=self.tome_ratio,
+                                      tome_sx=self.tome_sx, tome_sy=self.tome_sy,
+                                      tome_seed=self.tome_seed,
                                       dtype=self.dtype, name=f"transformer_blocks__{i}")(
-                x, context=context)
+                x, context=context, hw=(h, w))
         if self.use_linear:
             x = nn.Dense(c, kernel_init=nn.initializers.zeros, dtype=self.dtype,
                          name="proj_out")(x)

@@ -70,6 +70,15 @@ class SDUNetModel(nn.Module):
     use_bf16: bool = False
     spatial_transformer_attn_type: str = "softmax"
     torso_dtype: Any = None
+    # Token Merging (serving-only acceleration; NO params added — a ToMe
+    # model shares its params pytree with the baseline; dmtpu/ops/tome.py).
+    # ``tome_max_downsample`` gates which levels merge (1 = only the full-
+    # resolution attention level, the tomesd default).
+    tome_ratio: float = 0.0
+    tome_sx: int = 2
+    tome_sy: int = 2
+    tome_max_downsample: int = 1
+    tome_seed: Optional[int] = None
 
     def _dim_head(self, ch: int):
         """Replicates the reference's (quirky) head-dim resolution."""
@@ -140,9 +149,14 @@ class SDUNetModel(nn.Module):
         def attn_or_st(idx_name: str, ch: int, depth: int, disable_sa: bool, heads_override=None):
             num_heads, dim_head = self._dim_head(ch)
             if self.use_spatial_transformer:
+                # ToMe only at levels within tome_max_downsample (``ds`` is
+                # read at the synchronous call site, so it is the level's).
+                ratio = self.tome_ratio if ds <= self.tome_max_downsample else 0.0
                 return SpatialTransformer(
                     num_heads, dim_head, depth=depth, disable_self_attn=disable_sa,
                     use_linear=self.use_linear_in_transformer,
+                    tome_ratio=ratio, tome_sx=self.tome_sx, tome_sy=self.tome_sy,
+                    tome_seed=self.tome_seed,
                     # training (remat on) differentiates the attention: the
                     # XLA S-by-S path would materialise f32 logits in the
                     # backward (8 GB at b16 S4096) -- prefer the flash kernel

@@ -69,6 +69,10 @@ scale = st.slider("CFG scale", 1.0, 20.0, 7.5)
 height = st.select_slider("Height", options=list(range(128, 1025, 128)), value=512)
 width = st.select_slider("Width", options=list(range(128, 1025, 128)), value=512)
 offset_noise = st.slider("Offset noise", 0.0, 0.2, 0.0)
+tome_ratio = st.slider(
+    "Token merging (ToMe) ratio", 0.0, 0.75, 0.0, step=0.05,
+    help="merge the most redundant self-attention tokens at the full-res "
+         "level (dmtpu/ops/tome.py) — ~1.3-1.5x faster at 0.5, near-baseline quality")
 batch_size = st.slider("Batch size", 1, 8, 1)
 batch_count = st.slider("Batch count", 1, 8, 1)
 respace_type = st.selectbox(
@@ -92,15 +96,22 @@ if st.button("Generate"):
     # cache the compiled sampler across Streamlit reruns (script re-executes
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_sd_samplers", {})
-    cache_key = (sampler, respace_type, steps, scale, height, width, batch_size)
+    cache_key = (sampler, respace_type, steps, scale, height, width, batch_size,
+                 tome_ratio)
     if cache_key not in cache:
         diffuser = _SAMPLERS[sampler](**dp)
+        # a LOCAL ToMe-enabled clone (params unchanged) so every cached fn
+        # stays bound to the unet it was traced with
+        unet_m = sd.unet.clone(tome_ratio=float(tome_ratio))
 
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering
         @jax.jit
         def fn(p, noise, k, ce, ue):
-            return diffuser.sample(sd.make_model_fn(p), noise, k,
+            def model_fn(x, t, text_embed=None, **kw):
+                return unet_m.apply(p["unet"], x, t, context=text_embed)
+
+            return diffuser.sample(model_fn, noise, k,
                                    uncond_conditioning=ue,
                                    model_kwargs=dict(text_embed=ce))
 
