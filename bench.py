@@ -157,23 +157,30 @@ def main():
                                        batch=SD_BATCH, interval=2, skip=3)
         return {"sd15_pfdiff_deepcache_samples_per_sec": round(sps, 3)}
 
+    # ToMe model built once, measured by two SEPARATE fail-soft extras so a
+    # failure in the composed stack can't discard the plain ToMe number
+    tome_built = build_sd15_unet(tome_ratio=0.5)
+
     def tome():
         # Token Merging ratio 0.5 at the 64x64 level (dmtpu/ops/tome.py):
         # straight DDIM-50, cheaper model calls (params identical)
-        tm, tm_init, tm_apply = build_sd15_unet(tome_ratio=0.5)
+        _, tm_init, tm_apply = tome_built
         sps, _ = time_ddim50(tm_init, tm_apply, latent_hw=64, batch=SD_BATCH)
-        out = {"sd15_tome50_samples_per_sec": round(sps, 3)}
+        return {"sd15_tome50_samples_per_sec": round(sps, 3)}
+
+    def tome_stack():
         # full serving stack: ToMe x PFDiff-1 grid x DeepCache
-        sps2, _ = time_pfdiff_deepcache(tm_init, tm.apply, latent_hw=64,
-                                        batch=SD_BATCH, interval=2, skip=3)
-        out["sd15_tome_pfdiff_deepcache_samples_per_sec"] = round(sps2, 3)
-        return out
+        tm, tm_init, _ = tome_built
+        sps, _ = time_pfdiff_deepcache(tm_init, tm.apply, latent_hw=64,
+                                       batch=SD_BATCH, interval=2, skip=3)
+        return {"sd15_tome_pfdiff_deepcache_samples_per_sec": round(sps, 3)}
 
     soft("sd15_dpmpp", dpmpp)
     soft("sd15_pfdiff", pfdiff)
     soft("sd15_deepcache", deepcache)
     soft("sd15_pfdiff_deepcache", pfdiff_deepcache)
     soft("sd15_tome", tome)
+    soft("sd15_tome_stack", tome_stack)
     soft("dit", dit)
     soft("sdxl", sdxl)
     soft("sd15_train", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH))

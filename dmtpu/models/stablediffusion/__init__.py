@@ -120,16 +120,26 @@ class StableDiffusion:
         self.params = {"unet": unet_p, "vae": vae_p, "text_encoder": text_p}
         return self.params
 
-    def set_tome(self, ratio: float, sx: int = 2, sy: int = 2,
-                 max_downsample: int = 1, seed: Optional[int] = None):
+    _UNSET = object()
+
+    def set_tome(self, ratio: float, sx=_UNSET, sy=_UNSET,
+                 max_downsample=_UNSET, seed=_UNSET):
         """Enable (ratio>0) / disable (0) Token Merging on the UNet.
 
         Serving-only acceleration (dmtpu/ops/tome.py): rebinds the UNet
         module with ToMe fields — NO parameters change, so already-loaded
-        ``self.params`` keep working.  Returns self for chaining."""
-        self.unet = self.unet.clone(
-            tome_ratio=float(ratio), tome_sx=int(sx), tome_sy=int(sy),
-            tome_max_downsample=int(max_downsample), tome_seed=seed)
+        ``self.params`` keep working.  Knobs left unspecified KEEP their
+        current value (``set_tome(0.6)`` after ``set_tome(0.5, seed=3)``
+        only changes the ratio).  Returns self for chaining."""
+        u = self.unet
+        self.unet = u.clone(
+            tome_ratio=float(ratio),
+            tome_sx=u.tome_sx if sx is self._UNSET else int(sx),
+            tome_sy=u.tome_sy if sy is self._UNSET else int(sy),
+            tome_max_downsample=(u.tome_max_downsample
+                                 if max_downsample is self._UNSET
+                                 else int(max_downsample)),
+            tome_seed=u.tome_seed if seed is self._UNSET else seed)
         return self
 
     # --- functional pieces (explicit params for jit closures) ----------

@@ -98,7 +98,10 @@ def bipartite_soft_matching_2d(metric: Array, h: int, w: int, *,
     a_np, b_np = dst_index_grid(h, w, sx, sy, seed)
     na, nb = len(a_np), len(b_np)
     r = max(0, min(int(r), na))
-    if r == 0:
+    # degenerate grid (a cell bigger than the token grid leaves no dst
+    # tokens, or everything is dst): nothing can merge — identity, not a
+    # zero-size argmax at trace time
+    if r == 0 or nb == 0 or na == 0:
         return identity_merge()
     a_idx = jnp.asarray(a_np, jnp.int32)
     b_idx = jnp.asarray(b_np, jnp.int32)
@@ -144,6 +147,10 @@ def bipartite_soft_matching_2d(metric: Array, h: int, w: int, *,
 
 def tome_r(n_tokens: int, ratio: float, h: int, w: int,
            sx: int = 2, sy: int = 2) -> int:
-    """tomesd's r: ``int(N * ratio)`` clamped to the source-set size."""
-    na = n_tokens - (h // sy) * (w // sx)
-    return max(0, min(int(n_tokens * ratio), na))
+    """tomesd's r: ``int(N * ratio)`` clamped to the source-set size.
+
+    0 when the grid is degenerate (no destination tokens to merge into)."""
+    nb = (h // sy) * (w // sx)
+    if nb == 0:
+        return 0
+    return max(0, min(int(n_tokens * ratio), n_tokens - nb))

@@ -44,6 +44,16 @@ class TestPartition:
         assert tome_r(n, 0.9, h, w) == 48  # src set = 64 - 16
         assert tome_r(n, 0.0, h, w) == 0
 
+    def test_degenerate_grid_is_identity(self):
+        # cell bigger than the token grid -> no dst tokens -> identity,
+        # not a zero-size argmax at trace time (review finding)
+        h = w = 4
+        assert tome_r(h * w, 0.5, h, w, sx=16, sy=16) == 0
+        x = _rand(30, 1, h * w, 4)
+        m, u = bipartite_soft_matching_2d(x, h, w, sx=16, sy=16,
+                                          r=int(h * w * 0.5))
+        assert (m(x) is x) and (u(x) is x)
+
 
 class TestMatchingOracle:
     """Brute-force numpy re-derivation of the matching on random input."""
@@ -251,8 +261,14 @@ class TestUNetToMe:
         assert sd.unet.tome_ratio == 0.0
         sd.set_tome(0.4, seed=7)
         assert sd.unet.tome_ratio == 0.4 and sd.unet.tome_seed == 7
+        # unspecified knobs KEEP their value across calls (review finding)
+        sd.set_tome(0.6)
+        assert sd.unet.tome_ratio == 0.6 and sd.unet.tome_seed == 7
+        sd.set_tome(0.6, max_downsample=2)
+        assert sd.unet.tome_max_downsample == 2 and sd.unet.tome_seed == 7
         sd.set_tome(0.0)
         assert sd.unet.tome_ratio == 0.0
+        assert sd.unet.tome_max_downsample == 2
 
     def test_deepcache_composes_with_tome(self):
         # shallow DeepCache pass with ToMe on: runs, finite, cached shape kept
