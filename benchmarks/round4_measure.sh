@@ -26,6 +26,9 @@ run python benchmarks/train_probe.py sd16
 run env DMTPU_SMALL_D=1 python benchmarks/train_probe.py sd16
 run python benchmarks/train_probe.py sd16attn
 run env DMTPU_SMALL_D=1 python benchmarks/train_probe.py sd16attn
+# 3b. ToMe r=0.5 training (differentiable token merging; VERDICT #3 target)
+run python benchmarks/train_probe.py sd16tome
+run python benchmarks/train_probe.py sd16attntome
 # 4. headline bench (deepcache/pfdiff/tome extras + regression guard)
 run python bench.py
 echo "DONE -> $LOG" | tee -a "$LOG"

@@ -67,7 +67,7 @@ def time_train_step(model_apply, init_fn, batch_shapes, tx, label, reps=4,
     return out
 
 
-def sd15(batch, remat=True, ema=False, ema_dtype=None):
+def sd15(batch, remat=True, ema=False, ema_dtype=None, tome_ratio=0.0):
     from northstar import SD15_GFLOPS_PER_STEP
     from dmtpu.models.stablediffusion.unet import SDUNetModel
 
@@ -75,7 +75,8 @@ def sd15(batch, remat=True, ema=False, ema_dtype=None):
         in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         use_spatial_transformer=True, transformer_depth=1, context_dim=768,
-        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=remat)
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=remat,
+        tome_ratio=tome_ratio)
 
     def init_fn(rng):
         return model.init(rng, jnp.zeros((1, 64, 64, 4)),
@@ -91,7 +92,8 @@ def sd15(batch, remat=True, ema=False, ema_dtype=None):
         f"sd15_train_b{batch}"
         + (f"_remat-{remat}" if isinstance(remat, str)
            else ("" if remat else "_noremat"))
-        + ("_ema" if ema else "") + ("16" if ema and ema_dtype else ""),
+        + ("_ema" if ema else "") + ("16" if ema and ema_dtype else "")
+        + (f"_tome{tome_ratio}" if tome_ratio else ""),
         fwd_gflops=SD15_GFLOPS_PER_STEP, ema=ema, ema_dtype=ema_dtype)
 
 
@@ -300,6 +302,10 @@ if __name__ == "__main__":
         dit(48, opt="adafactor", remat=False)
     if which == "sd16attn":   # round 4: save-attn-outputs selective remat
         sd15(16, remat="attn")
+    if which == "sd16tome":   # round 4: ToMe r=0.5 training (differentiable)
+        sd15(16, tome_ratio=0.5)
+    if which == "sd16attntome":
+        sd15(16, remat="attn", tome_ratio=0.5)
     if which == "sd8attn":
         sd15(8, remat="attn")
     if which == "sd16attnema":

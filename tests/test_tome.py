@@ -270,6 +270,32 @@ class TestUNetToMe:
         assert sd.unet.tome_ratio == 0.0
         assert sd.unet.tome_max_downsample == 2
 
+    def test_training_grads_flow_through_tome(self):
+        # ToMe is differentiable (gathers + one-hot matmuls; indices are
+        # constants), so it applies to TRAINING too — the SpatialTransformers
+        # are 76% of the SD train step (docs/ROADMAP.md decomposition).
+        # Check grads are finite, nonzero into attn1 q/k/v, and differ from
+        # the unmerged model's grads; also under full remat.
+        x, t, ctx = self._inputs()
+        for remat in (False, True):
+            base = self._unet(use_checkpoint=remat)
+            tome = self._unet(tome_ratio=0.5, use_checkpoint=remat)
+            p = _randomize(base.init(jax.random.PRNGKey(0), x, t, ctx))
+
+            def loss(params, model):
+                return jnp.mean(model.apply(params, x, t, ctx) ** 2)
+
+            gb = jax.grad(loss)(p, base)
+            gt = jax.grad(loss)(p, tome)
+            finite = jax.tree.map(lambda a: bool(jnp.isfinite(a).all()), gt)
+            assert jax.tree.all(finite)
+            qkv = gt["params"]["input_blocks__1__1"]["transformer_blocks__0"][
+                "attn1"]["to_q"]["kernel"]
+            assert float(jnp.abs(qkv).max()) > 0
+            flat_b = jnp.concatenate([g.ravel() for g in jax.tree.leaves(gb)])
+            flat_t = jnp.concatenate([g.ravel() for g in jax.tree.leaves(gt)])
+            assert not np.allclose(np.asarray(flat_b), np.asarray(flat_t))
+
     def test_deepcache_composes_with_tome(self):
         # shallow DeepCache pass with ToMe on: runs, finite, cached shape kept
         x, t, ctx = self._inputs()
