@@ -142,6 +142,14 @@ class StableDiffusion:
             tome_seed=u.tome_seed if seed is self._UNSET else seed)
         return self
 
+    def set_freeu(self, scales=None):
+        """Enable FreeU (``scales=(b1, b2, s1, s2)``, e.g.
+        ``dmtpu.ops.freeu.SD15_DEFAULTS``) or disable it (``None``).
+        Serving-only quality knob; params unchanged.  Returns self."""
+        self.unet = self.unet.clone(
+            freeu=None if scales is None else tuple(float(s) for s in scales))
+        return self
+
     # --- functional pieces (explicit params for jit closures) ----------
     def unet_forward(self, params: Dict, x: Array, timesteps: Array, context: Array) -> Array:
         return self.unet.apply(params["unet"], x, timesteps, context=context)

@@ -79,6 +79,10 @@ class SDUNetModel(nn.Module):
     tome_sy: int = 2
     tome_max_downsample: int = 1
     tome_seed: Optional[int] = None
+    # FreeU (serving-only quality knob; NO params — dmtpu/ops/freeu.py):
+    # (b1, b2, s1, s2) backbone/skip re-weighting at the two deepest
+    # decoder stages, or None (off).
+    freeu: Optional[Sequence[float]] = None
 
     def _dim_head(self, ch: int):
         """Replicates the reference's (quirky) head-dim resolution."""
@@ -243,7 +247,14 @@ class SDUNetModel(nn.Module):
                             h = dc_cached  # splice the cached deep feature
                         else:
                             dc_u = h  # capture: input to the first shallow block
-                    h = jnp.concatenate([h, hs.pop()], axis=-1)
+                    sk = hs.pop()
+                    if self.freeu is not None:
+                        from dmtpu.ops.freeu import apply_freeu
+
+                        fb1, fb2, fs1, fs2 = self.freeu
+                        h, sk = apply_freeu(h, sk, self.model_channels,
+                                            fb1, fb2, fs1, fs2)
+                    h = jnp.concatenate([h, sk], axis=-1)
                     h = res(ResBlock(self.model_channels * mult, self.dropout,
                                      use_scale_shift_norm=self.use_scale_shift_norm, dtype=dt,
                                      name=f"output_blocks__{blk}__0"), h)

@@ -73,6 +73,10 @@ tome_ratio = st.slider(
     "Token merging (ToMe) ratio", 0.0, 0.75, 0.0, step=0.05,
     help="merge the most redundant self-attention tokens at the full-res "
          "level (dmtpu/ops/tome.py) — ~1.3-1.5x faster at 0.5, near-baseline quality")
+freeu = st.checkbox(
+    "FreeU", value=False,
+    help="training-free backbone/skip re-weighting at the two deepest "
+         "decoder stages (dmtpu/ops/freeu.py, SD1.5 paper settings)")
 batch_size = st.slider("Batch size", 1, 8, 1)
 batch_count = st.slider("Batch count", 1, 8, 1)
 respace_type = st.selectbox(
@@ -97,12 +101,15 @@ if st.button("Generate"):
     # per interaction; a fresh jit object would retrace the whole scan)
     cache = st.session_state.setdefault("_sd_samplers", {})
     cache_key = (sampler, respace_type, steps, scale, height, width, batch_size,
-                 tome_ratio)
+                 tome_ratio, freeu)
     if cache_key not in cache:
+        from dmtpu.ops.freeu import SD15_DEFAULTS
+
         diffuser = _SAMPLERS[sampler](**dp)
-        # a LOCAL ToMe-enabled clone (params unchanged) so every cached fn
-        # stays bound to the unet it was traced with
-        unet_m = sd.unet.clone(tome_ratio=float(tome_ratio))
+        # a LOCAL ToMe/FreeU-enabled clone (params unchanged) so every
+        # cached fn stays bound to the unet it was traced with
+        unet_m = sd.unet.clone(tome_ratio=float(tome_ratio),
+                               freeu=SD15_DEFAULTS if freeu else None)
 
         # params as a jit ARGUMENT: closing over the weight tree embeds
         # GBs of constants into the lowering
