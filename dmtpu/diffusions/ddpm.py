@@ -404,6 +404,14 @@ class DDPMCFG(DDPM):
     without being per-sample (e.g. a shared ``[B, B]`` bias table) would be
     mis-tiled — pass such values with a leading length-1 axis, or close over
     them in ``model_fn`` instead of routing them through ``model_kwargs``.
+
+    ``guidance_interval=(t_lo, t_hi)`` (beyond parity; Kynkäänniemi et al.
+    2024, "limited-interval guidance") applies CFG only at steps whose
+    ORIGINAL timestep ``t`` satisfies ``t_lo < t <= t_hi``; outside the
+    interval the step runs the plain conditional model (s=1) as ONE B-sized
+    call — compiled as a ``lax.cond`` inside the scan body, so unguided
+    steps execute half the model work.  Improves FID at high guidance
+    scales per the paper while cutting NFE cost.  Inherited by ``DDIMCFG``.
     """
 
     #: reserved model_kwargs key used to thread the unconditional branch's
@@ -411,10 +419,19 @@ class DDPMCFG(DDPM):
     #: to the model.
     _UNCOND_KEY = "__cfg_uncond_conditioning__"
 
-    def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y", *args: Any, **kwargs: Any):
+    def __init__(self, guidance_scale: float = 1.0, cond_kwarg: str = "y",
+                 *args: Any, guidance_interval: Optional[Tuple[float, float]] = None,
+                 **kwargs: Any):
         super().__init__(*args, **kwargs)
         self.guidance_scale = float(guidance_scale)
         self.cond_kwarg = cond_kwarg
+        if guidance_interval is not None:
+            lo, hi = guidance_interval
+            if not lo < hi:
+                raise ValueError(
+                    f"guidance_interval needs t_lo < t_hi, got {guidance_interval}")
+            guidance_interval = (float(lo), float(hi))
+        self.guidance_interval = guidance_interval
 
     def _cfg_model_output(
         self,
@@ -458,8 +475,27 @@ class DDPMCFG(DDPM):
         pred_eps = (1.0 - s) * eps_uncond + s * eps_cond
         return pred_eps, out_cond
 
+    def _cond_only_model_output(self, model_fn, xt, c, model_kwargs):
+        """One plain conditional B-sized call (CFG s=1) — the unguided
+        branch of a limited guidance interval."""
+        merged = {k: v for k, v in model_kwargs.items() if k != self._UNCOND_KEY}
+        t_b = jnp.full((xt.shape[0],), c["t"], dtype=jnp.int32)
+        out = model_fn(xt, t_b, **merged)
+        return self.predict(out, xt, c)["pred_eps"], out
+
     def _model_step(self, model_fn, xt, c, rng, model_kwargs):
-        pred_eps, out_cond = self._cfg_model_output(model_fn, xt, c, model_kwargs)
+        if self.guidance_interval is None:
+            pred_eps, out_cond = self._cfg_model_output(model_fn, xt, c, model_kwargs)
+        else:
+            lo, hi = self.guidance_interval
+            guide = jnp.logical_and(c["t"] > lo, c["t"] <= hi)
+            # lax.cond executes ONE branch per step at runtime: unguided
+            # steps pay a single B call instead of the batched 2B call
+            pred_eps, out_cond = jax.lax.cond(
+                guide,
+                lambda x: self._cfg_model_output(model_fn, x, c, model_kwargs),
+                lambda x: self._cond_only_model_output(model_fn, x, c, model_kwargs),
+                xt)
         if self.var_type == "learned_range":
             # learned variance rides along from the conditional branch
             # (reference: diffusions/ddpm.py:344-345)

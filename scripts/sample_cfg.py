@@ -38,6 +38,11 @@ def main():
                    help="Which classes to sample (default: all)")
     p.add_argument("--n_samples_each_class", type=int, required=True)
     p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--guidance_interval", type=float, nargs=2, default=None,
+                   metavar=("T_LO", "T_HI"),
+                   help="apply CFG only when t_lo < t <= t_hi (original "
+                        "timestep units); outside, one plain conditional "
+                        "call per step (ddpm/ddim samplers)")
     p.add_argument("--var_type", type=str, default=None)
     p.add_argument("--vae_weights", type=str, default=None,
                    help="VAE weights for latent models (DiT/MDT wrappers)")
@@ -53,6 +58,10 @@ def main():
     extra = dict(guidance_scale=args.guidance_scale)
     if args.var_type is not None:
         extra["var_type"] = args.var_type
+    if args.guidance_interval is not None:
+        if args.sampler not in ("ddpm", "ddim"):
+            p.error("--guidance_interval supports the ddpm/ddim samplers")
+        extra["guidance_interval"] = tuple(args.guidance_interval)
     if args.sampler == "ddim":
         diffuser = DDIMCFG(**diffusion_params(args, conf, **extra, eta=args.ddim_eta))
     elif args.sampler == "dpmpp":

@@ -154,3 +154,15 @@ diffusion:
     sample_cfg.main()
     files = sorted(os.listdir(os.path.join(save_dir, "class1")))
     assert files == ["0.png", "1.png"]
+
+    # limited-interval CFG through the CLI (ddim; lax.cond branch per step)
+    save_dir2 = str(tmp_path / "out_gi")
+    argv = ["sample_cfg.py", "-c", str(conf), "--weights", str(wpath),
+            "--save_dir", save_dir2, "--batch_size", "4",
+            "--n_samples_each_class", "2", "--class_ids", "1",
+            "--guidance_scale", "4.0", "--sampler", "ddim",
+            "--guidance_interval", "10", "40"]
+    monkeypatch.setattr(sys, "argv", argv)
+    sample_cfg.main()
+    files = sorted(os.listdir(os.path.join(save_dir2, "class1")))
+    assert files == ["0.png", "1.png"]
