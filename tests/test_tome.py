@@ -296,6 +296,53 @@ class TestUNetToMe:
             flat_t = jnp.concatenate([g.ravel() for g in jax.tree.leaves(gt)])
             assert not np.allclose(np.asarray(flat_b), np.asarray(flat_t))
 
+    def test_dp_sharded_matches_unsharded(self):
+        # per-batch-item matching is batch-local, so a DP-sharded apply must
+        # be bit-compatible with the single-device result (multi-chip
+        # serving viability; the sampling CLIs DP-shard exactly like this)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        cpus = jax.devices("cpu")
+        if len(cpus) < 8:
+            import pytest
+
+            pytest.skip("needs the 8-device CPU mesh (conftest XLA_FLAGS)")
+        x = _rand(40, 8, 16, 16, 4)
+        t = jnp.arange(8, dtype=jnp.int32)
+        ctx = _rand(41, 8, 7, 16)
+        tome = self._unet(tome_ratio=0.5)
+        p = _randomize(tome.init(jax.random.PRNGKey(0), x, t, ctx))
+        want = tome.apply(p, x, t, ctx)
+        mesh = Mesh(np.array(cpus[:8]), ("data",))
+        shard = NamedSharding(mesh, P("data"))
+        xs = jax.device_put(x, shard)
+        ts = jax.device_put(t, shard)
+        cs = jax.device_put(ctx, shard)
+        got = jax.jit(lambda p, a, b, c: tome.apply(p, a, b, c))(p, xs, ts, cs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_sdxl_style_config_merges_at_level1(self):
+        # SDXL has no attention at ds=1 (attention_resolutions=(4, 2)):
+        # tome_max_downsample=2 targets the ds=2 level through the same
+        # superset UNet
+        from dmtpu.models.stablediffusion.unet import SDUNetModel
+
+        kw = dict(in_channels=4, model_channels=32, out_channels=4,
+                  num_res_blocks=1, attention_resolutions=(4, 2),
+                  channel_mult=(1, 2, 4), num_head_channels=8,
+                  use_spatial_transformer=True, transformer_depth=(1, 1, 2),
+                  context_dim=16, use_linear_in_transformer=True, legacy=False)
+        base = SDUNetModel(**kw)
+        tome = SDUNetModel(tome_ratio=0.5, tome_max_downsample=2, **kw)
+        x = _rand(50, 1, 16, 16, 4)
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = _rand(51, 1, 7, 16)
+        p = _randomize(base.init(jax.random.PRNGKey(0), x, t, ctx))
+        ob, ot = base.apply(p, x, t, ctx), tome.apply(p, x, t, ctx)
+        assert bool(jnp.isfinite(ot).all())
+        assert not np.allclose(np.asarray(ob), np.asarray(ot))
+
     def test_deepcache_composes_with_tome(self):
         # shallow DeepCache pass with ToMe on: runs, finite, cached shape kept
         x, t, ctx = self._inputs()
