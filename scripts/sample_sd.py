@@ -1,0 +1,202 @@
+"""Stable Diffusion text-to-image CLI — the full serving stack, headless.
+
+The reference serves SD only through its streamlit UI (reference:
+streamlit/pages/3_Stable_Diffusion.py); this CLI exposes the same pipeline
+plus every dmtpu serving accelerator so the stack is drivable on a chip
+without a browser:
+
+- samplers: ddim / ddpm / dpmpp / pfdiff (CFG variants, one 2B-batched call)
+- ``--guidance_interval T_LO T_HI``: limited-interval CFG (ddim/ddpm)
+- ``--tome_ratio``: ToMe token merging (dmtpu/ops/tome.py)
+- ``--freeu``: FreeU backbone/skip re-weighting (paper SD1.5 scales)
+- ``--deepcache INTERVAL SKIP``: cached-UNet serving (ddim; the CFG combine
+  moves inside the full/shallow callables so the cache carries both halves)
+
+Weights: a CompVis ``.ckpt``/``.safetensors`` or merged-LoRA ``.npz`` via
+``--weights``; without it the pipeline runs with random-init params (demo
+mode — wiring/performance only).  Prompts tokenize with a local
+CLIPTokenizer (``DMTPU_CLIP_TOKENIZER``); demo mode falls back to
+deterministic pseudo-token ids so the CLI stays runnable in a zero-egress
+image.
+"""
+import argparse
+import hashlib
+import os
+import sys
+
+sys.path.append(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dmtpu.utils.setup import setup_jax  # noqa: E402
+
+setup_jax()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from dmtpu.diffusions import DDIM, DDIMCFG, DDPMCFG, DPMSolverPPCFG, PFDiffDDIMCFG  # noqa: E402
+from dmtpu.diffusions.deepcache import deepcache_sample  # noqa: E402
+from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
+from dmtpu.utils.image import to_pil  # noqa: E402
+from dmtpu.utils.logger import get_logger  # noqa: E402
+
+_SAMPLERS = {"ddim": DDIMCFG, "ddpm": DDPMCFG, "dpmpp": DPMSolverPPCFG,
+             "pfdiff": PFDiffDDIMCFG}
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("-c", "--config", type=str, required=True,
+                   help="SD weight yaml (reference weights/stablediffusion/*.yaml)")
+    p.add_argument("--weights", type=str, default=None,
+                   help=".ckpt/.safetensors/.npz; omit for random-init demo mode")
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--negative", type=str, default="")
+    p.add_argument("--save_dir", type=str, required=True)
+    p.add_argument("--n_samples", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--seed", type=int, default=2022)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=sorted(_SAMPLERS))
+    p.add_argument("--respace_type", type=str, default="uniform")
+    p.add_argument("--respace_steps", type=int, default=50)
+    p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--guidance_interval", type=float, nargs=2, default=None,
+                   metavar=("T_LO", "T_HI"))
+    p.add_argument("--tome_ratio", type=float, default=0.0)
+    p.add_argument("--tome_max_downsample", type=int, default=1,
+                   help="merge at levels with ds <= this (2 for SDXL-style "
+                        "UNets whose finest attention level is ds=2)")
+    p.add_argument("--freeu", action="store_true")
+    p.add_argument("--deepcache", type=int, nargs=2, default=None,
+                   metavar=("INTERVAL", "SKIP"))
+    args = p.parse_args()
+    if args.deepcache is not None and args.sampler != "ddim":
+        p.error("--deepcache composes with the ddim sampler")
+    if args.deepcache is not None and args.guidance_interval is not None:
+        p.error("--deepcache and --guidance_interval are not composed yet")
+    if args.guidance_interval is not None and args.sampler not in ("ddim", "ddpm"):
+        p.error("--guidance_interval supports the ddpm/ddim samplers")
+    return args
+
+
+def _demo_token_ids(text: str, max_length: int, vocab: int) -> np.ndarray:
+    """Deterministic pseudo-tokens for demo mode (no local CLIPTokenizer):
+    stable per-prompt ids so repeated runs and cond/uncond branches are
+    reproducible.  NOT a real tokenization."""
+    h = hashlib.sha256(text.encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(h[:4], "little"))
+    ids = rng.randint(3, vocab - 1, size=(max_length,))
+    ids[0], ids[-1] = 0, 2  # BOS/EOS-ish anchors
+    return ids[None]
+
+
+def encode_prompt(sd, params, text: str, batch: int):
+    te = sd.text_encoder
+    tok = os.environ.get("DMTPU_CLIP_TOKENIZER")
+    if tok and getattr(te, "tokenizer", None) is None:
+        from transformers import CLIPTokenizer
+
+        te.tokenizer = CLIPTokenizer.from_pretrained(tok)
+    if getattr(te, "tokenizer", None) is not None:
+        ids = np.asarray(te.tokenize([text]))
+    else:
+        vocab = getattr(te.model, "vocab_size", 49408)
+        ids = _demo_token_ids(text, getattr(te, "max_length", 77), vocab)
+    emb = sd.text_encoder_encode_tokens(params, jnp.asarray(ids))
+    return jnp.tile(emb, (batch, 1, 1))
+
+
+def main():
+    args = parse_args()
+    logger = get_logger()
+    conf = load_config(args.config)
+    sd = instantiate_from_config(conf.model)
+    if args.weights:
+        params = sd.load_weights(args.weights)
+        logger.info(f"loaded weights: {args.weights}")
+    else:
+        logger.warning("no --weights: RANDOM init (demo mode)")
+        params = sd.init_params(jax.random.PRNGKey(0), img_size=args.height)
+
+    # serving accelerators: rebind the UNet (params unchanged)
+    if args.tome_ratio > 0:
+        sd.set_tome(args.tome_ratio, max_downsample=args.tome_max_downsample)
+    if args.freeu:
+        from dmtpu.ops.freeu import SD15_DEFAULTS
+
+        sd.set_freeu(SD15_DEFAULTS)
+
+    dp = dict(conf.diffusion.get("params", {}))
+    dp.pop("device", None)
+    if args.sampler != "ddpm":
+        dp.pop("var_type", None)
+    dp.update(respace_type=args.respace_type, respace_steps=args.respace_steps)
+
+    ce = encode_prompt(sd, params, args.prompt, args.batch_size)
+    ue = encode_prompt(sd, params, args.negative, args.batch_size)
+    s = args.guidance_scale
+    lat_h, lat_w = args.height // 8, args.width // 8
+
+    if args.deepcache is not None:
+        interval, skip = args.deepcache
+        diffuser = DDIM(**dp)
+
+        # CFG combine INSIDE the DeepCache callables: one 2B call, the
+        # cache carries both halves, the loop's denoise sees combined eps
+        @jax.jit
+        def sample_fn(p, noise, key):
+            def cfg_out(x, t, dc_kw):
+                b = x.shape[0]
+                out2, u = sd.unet.apply(
+                    p["unet"], jnp.concatenate([x, x]), jnp.concatenate([t, t]),
+                    context=jnp.concatenate([ce, ue]), **dc_kw)
+                oc, ou = jnp.split(out2, 2, axis=0)
+                return (1.0 - s) * ou + s * oc, u
+
+            def full_fn(x, t):
+                return cfg_out(x, t, dict(dc_skip=skip))
+
+            def shallow_fn(x, t, u):
+                # the cache comes from the 2B full pass, so it is already
+                # sized for the doubled batch
+                return cfg_out(x, t, dict(dc_skip=skip, dc_cached=u))[0]
+
+            return deepcache_sample(diffuser, full_fn, shallow_fn, noise, key,
+                                    interval=interval)
+    else:
+        extra = dict(guidance_scale=s, cond_kwarg="text_embed")
+        if args.guidance_interval is not None:
+            extra["guidance_interval"] = tuple(args.guidance_interval)
+        diffuser = _SAMPLERS[args.sampler](**dp, **extra)
+
+        @jax.jit
+        def sample_fn(p, noise, key):
+            def model_fn(x, t, text_embed=None, **kw):
+                return sd.unet.apply(p["unet"], x, t, context=text_embed)
+
+            return diffuser.sample(model_fn, noise, key,
+                                   uncond_conditioning=ue,
+                                   model_kwargs=dict(text_embed=ce))
+
+    os.makedirs(args.save_dir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+    done = 0
+    batch_i = 0
+    while done < args.n_samples:
+        k = jax.random.fold_in(rng, batch_i)
+        k_noise, k_samp = jax.random.split(k)
+        noise = jax.random.normal(k_noise, (args.batch_size, lat_h, lat_w, 4))
+        z = sample_fn(params, noise, k_samp)
+        imgs = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
+        for b in range(min(args.batch_size, args.n_samples - done)):
+            to_pil(imgs[b]).save(os.path.join(args.save_dir, f"{done + b}.png"))
+        done += min(args.batch_size, args.n_samples - done)
+        batch_i += 1
+        logger.info(f"saved {done}/{args.n_samples}")
+
+
+if __name__ == "__main__":
+    main()

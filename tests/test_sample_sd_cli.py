@@ -1,0 +1,56 @@
+"""scripts/sample_sd.py — the headless SD serving CLI, demo mode.
+
+Drives the full pipeline (pseudo-tokenize -> text encode -> sampler scan ->
+VAE decode -> PNGs) on the tiny SD fixture, across the serving-accelerator
+matrix (ToMe, FreeU, DeepCache, limited-interval CFG, PFDiff).
+"""
+import os
+import sys
+
+import pytest
+
+from tests._tiny_fixtures import tiny_sd_config
+
+SCRIPTS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "scripts")
+if SCRIPTS not in sys.path:
+    sys.path.insert(0, SCRIPTS)
+
+
+def _run(tmp_path, monkeypatch, out_name, extra_args):
+    conf = tiny_sd_config(tmp_path / "sd.yaml")
+    save = str(tmp_path / out_name)
+    argv = ["sample_sd.py", "-c", conf, "--prompt", "a tiny cat",
+            "--save_dir", save, "--n_samples", "2", "--batch_size", "2",
+            "--height", "64", "--width", "64", "--respace_steps", "4",
+            "--guidance_scale", "3.0"] + extra_args
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.delenv("DMTPU_CLIP_TOKENIZER", raising=False)
+    import sample_sd
+
+    sample_sd.main()
+    return sorted(os.listdir(save))
+
+
+@pytest.mark.parametrize("name,extra", [
+    ("ddim", []),
+    ("accel", ["--tome_ratio", "0.5", "--tome_max_downsample", "2", "--freeu"]),
+    ("deepcache", ["--deepcache", "2", "2"]),
+    ("interval", ["--guidance_interval", "20", "80"]),
+    ("pfdiff", ["--sampler", "pfdiff"]),
+])
+def test_sample_sd_matrix(tmp_path, monkeypatch, name, extra):
+    files = _run(tmp_path, monkeypatch, f"out_{name}", extra)
+    assert files == ["0.png", "1.png"]
+
+
+def test_flag_conflicts_abort(tmp_path, monkeypatch):
+    conf = tiny_sd_config(tmp_path / "sd.yaml")
+    argv = ["sample_sd.py", "-c", conf, "--prompt", "x",
+            "--save_dir", str(tmp_path / "o"),
+            "--deepcache", "2", "1", "--sampler", "pfdiff"]
+    monkeypatch.setattr(sys, "argv", argv)
+    import sample_sd
+
+    with pytest.raises(SystemExit):
+        sample_sd.main()
