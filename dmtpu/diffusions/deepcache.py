@@ -29,6 +29,7 @@ def deepcache_sample(
     init_noise: Array,
     rng: Array,
     interval: int = 2,
+    postprocess: Optional[Callable[[Array, Array, Dict[str, Array]], Array]] = None,
 ) -> Array:
     """Run the diffuser's reverse tape with DeepCache model dispatch.
 
@@ -39,6 +40,13 @@ def deepcache_sample(
     ``interval``-th step refreshes the cache, the rest reuse it.
     ``diffuser`` supplies the step math via its tape + ``denoise_step``
     (DDIM/DDPM/Euler all expose that seam).
+
+    ``postprocess(model_out, x, c) -> model_out`` (optional) runs before the
+    denoise step with the tape row ``c`` in hand — the CFG seam: a 2B-batched
+    full/shallow output can be split, per-branch ``diffuser.predict``-ed
+    (so ``clip_denoised`` clips each branch exactly like ``DDPMCFG``) and
+    combined into the B-sized guided eps.  interval=1 with that postprocess
+    is trajectory-exact vs ``DDIMCFG.sample`` (tested).
     """
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
@@ -53,6 +61,8 @@ def deepcache_sample(
     b = x.shape[0]
 
     def denoise(model_out, xc, c, key):
+        if postprocess is not None:
+            model_out = postprocess(model_out, xc, c)
         out = diffuser.denoise_step(model_out, xc, c, key[0])
         out = diffuser.apply_guidance(out, xc, c, key[1])
         return out["sample"]

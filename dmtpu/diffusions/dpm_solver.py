@@ -133,6 +133,15 @@ class DPMSolverPPCFG(DPMSolverPP, DDPMCFG):
     guided eps to the x0 the solver integrates.
     """
 
+    def __init__(self, *args: Any, **kwargs: Any):
+        if kwargs.get("guidance_interval") is not None:
+            # would be silently ignored: this solver integrates through
+            # _x0_step, not DDPMCFG._model_step where the interval gate lives
+            raise NotImplementedError(
+                "guidance_interval is supported by DDPMCFG/DDIMCFG only; the "
+                "multi-step solver history here needs interval-aware rework")
+        super().__init__(*args, **kwargs)
+
     def _x0_step(self, model_fn, x, c, model_kwargs) -> Array:
         pred_eps, _ = self._cfg_model_output(model_fn, x, c, model_kwargs)
         return self.predict(pred_eps, x, c, objective="pred_eps")["pred_x0"]

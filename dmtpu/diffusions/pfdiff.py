@@ -176,6 +176,15 @@ class PFDiffDDIMCFG(PFDiffDDIM, DDIMCFG):
     2B-call — so each pair costs one doubled-batch model call.
     """
 
+    def __init__(self, *args: Any, **kwargs: Any):
+        if kwargs.get("guidance_interval") is not None:
+            # would be silently ignored: PFDiff evaluates scores through
+            # _eps_at, not DDPMCFG._model_step where the interval gate lives
+            raise NotImplementedError(
+                "guidance_interval is supported by DDPMCFG/DDIMCFG only; the "
+                "PFDiff score buffer here needs interval-aware rework")
+        super().__init__(*args, **kwargs)
+
     def _eps_at(self, model_fn, x, c, model_kwargs):
         pred_eps, _ = self._cfg_model_output(model_fn, x, c, model_kwargs)
         return pred_eps

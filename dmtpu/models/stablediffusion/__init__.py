@@ -146,8 +146,12 @@ class StableDiffusion:
         """Enable FreeU (``scales=(b1, b2, s1, s2)``, e.g.
         ``dmtpu.ops.freeu.SD15_DEFAULTS``) or disable it (``None``).
         Serving-only quality knob; params unchanged.  Returns self."""
-        self.unet = self.unet.clone(
-            freeu=None if scales is None else tuple(float(s) for s in scales))
+        if scales is not None:
+            scales = tuple(float(s) for s in scales)
+            if len(scales) != 4:
+                raise ValueError(
+                    f"FreeU needs exactly (b1, b2, s1, s2), got {len(scales)}")
+        self.unet = self.unet.clone(freeu=scales)
         return self
 
     # --- functional pieces (explicit params for jit closures) ----------

@@ -69,7 +69,13 @@ def parse_args():
     p.add_argument("--tome_max_downsample", type=int, default=1,
                    help="merge at levels with ds <= this (2 for SDXL-style "
                         "UNets whose finest attention level is ds=2)")
-    p.add_argument("--freeu", action="store_true")
+    p.add_argument("--freeu", type=str, nargs="?", const="sd15", default=None,
+                   choices=["sd15", "sd21", "sdxl"],
+                   help="enable FreeU with a model-family preset "
+                        "(bare --freeu = sd15 paper scales)")
+    p.add_argument("--freeu_scales", type=float, nargs=4, default=None,
+                   metavar=("B1", "B2", "S1", "S2"),
+                   help="explicit FreeU scales (overrides --freeu preset)")
     p.add_argument("--deepcache", type=int, nargs=2, default=None,
                    metavar=("INTERVAL", "SKIP"))
     args = p.parse_args()
@@ -93,7 +99,7 @@ def _demo_token_ids(text: str, max_length: int, vocab: int) -> np.ndarray:
     return ids[None]
 
 
-def encode_prompt(sd, params, text: str, batch: int):
+def encode_prompt(sd, params, text: str, batch: int, real_weights: bool):
     te = sd.text_encoder
     tok = os.environ.get("DMTPU_CLIP_TOKENIZER")
     if tok and getattr(te, "tokenizer", None) is None:
@@ -103,6 +109,13 @@ def encode_prompt(sd, params, text: str, batch: int):
     if getattr(te, "tokenizer", None) is not None:
         ids = np.asarray(te.tokenize([text]))
     else:
+        if real_weights:
+            # pseudo-tokens + real weights would silently produce garbage
+            # images indistinguishable from a weights problem
+            raise SystemExit(
+                "--weights given but no tokenizer available: set "
+                "DMTPU_CLIP_TOKENIZER to a local CLIPTokenizer directory "
+                "(demo pseudo-tokens are only allowed with random init)")
         vocab = getattr(te.model, "vocab_size", 49408)
         ids = _demo_token_ids(text, getattr(te, "max_length", 77), vocab)
     emb = sd.text_encoder_encode_tokens(params, jnp.asarray(ids))
@@ -124,10 +137,13 @@ def main():
     # serving accelerators: rebind the UNet (params unchanged)
     if args.tome_ratio > 0:
         sd.set_tome(args.tome_ratio, max_downsample=args.tome_max_downsample)
-    if args.freeu:
-        from dmtpu.ops.freeu import SD15_DEFAULTS
+    if args.freeu_scales is not None or args.freeu is not None:
+        from dmtpu.ops import freeu as freeu_lib
 
-        sd.set_freeu(SD15_DEFAULTS)
+        presets = {"sd15": freeu_lib.SD15_DEFAULTS,
+                   "sd21": freeu_lib.SD21_DEFAULTS,
+                   "sdxl": freeu_lib.SDXL_DEFAULTS}
+        sd.set_freeu(args.freeu_scales or presets[args.freeu or "sd15"])
 
     dp = dict(conf.diffusion.get("params", {}))
     dp.pop("device", None)
@@ -135,8 +151,10 @@ def main():
         dp.pop("var_type", None)
     dp.update(respace_type=args.respace_type, respace_steps=args.respace_steps)
 
-    ce = encode_prompt(sd, params, args.prompt, args.batch_size)
-    ue = encode_prompt(sd, params, args.negative, args.batch_size)
+    ce = encode_prompt(sd, params, args.prompt, args.batch_size,
+                       real_weights=bool(args.weights))
+    ue = encode_prompt(sd, params, args.negative, args.batch_size,
+                       real_weights=bool(args.weights))
     s = args.guidance_scale
     lat_h, lat_w = args.height // 8, args.width // 8
 
@@ -144,28 +162,35 @@ def main():
         interval, skip = args.deepcache
         diffuser = DDIM(**dp)
 
-        # CFG combine INSIDE the DeepCache callables: one 2B call, the
-        # cache carries both halves, the loop's denoise sees combined eps
+        # one 2B-batched call per step; the cache carries both halves, and
+        # the CFG combine happens in deepcache's postprocess WITH the tape
+        # row in hand — per-branch predict (so clip_denoised clips each
+        # branch exactly like DDPMCFG), then the (1-s)/s eps combine.
+        # interval=1 is trajectory-exact vs DDIMCFG.sample (tested).
+        def cfg_postprocess(out2, xc, c):
+            oc, ou = jnp.split(out2, 2, axis=0)
+            eps_c = diffuser.predict(oc, xc, c)["pred_eps"]
+            eps_u = diffuser.predict(ou, xc, c)["pred_eps"]
+            return (1.0 - s) * eps_u + s * eps_c
+
         @jax.jit
-        def sample_fn(p, noise, key):
-            def cfg_out(x, t, dc_kw):
-                b = x.shape[0]
-                out2, u = sd.unet.apply(
+        def sample_fn(p, noise, ce, ue, key):
+            def raw_out(x, t, dc_kw):
+                return sd.unet.apply(
                     p["unet"], jnp.concatenate([x, x]), jnp.concatenate([t, t]),
                     context=jnp.concatenate([ce, ue]), **dc_kw)
-                oc, ou = jnp.split(out2, 2, axis=0)
-                return (1.0 - s) * ou + s * oc, u
 
             def full_fn(x, t):
-                return cfg_out(x, t, dict(dc_skip=skip))
+                return raw_out(x, t, dict(dc_skip=skip))
 
             def shallow_fn(x, t, u):
                 # the cache comes from the 2B full pass, so it is already
                 # sized for the doubled batch
-                return cfg_out(x, t, dict(dc_skip=skip, dc_cached=u))[0]
+                return raw_out(x, t, dict(dc_skip=skip, dc_cached=u))[0]
 
             return deepcache_sample(diffuser, full_fn, shallow_fn, noise, key,
-                                    interval=interval)
+                                    interval=interval,
+                                    postprocess=cfg_postprocess)
     else:
         extra = dict(guidance_scale=s, cond_kwarg="text_embed")
         if args.guidance_interval is not None:
@@ -173,7 +198,7 @@ def main():
         diffuser = _SAMPLERS[args.sampler](**dp, **extra)
 
         @jax.jit
-        def sample_fn(p, noise, key):
+        def sample_fn(p, noise, ce, ue, key):
             def model_fn(x, t, text_embed=None, **kw):
                 return sd.unet.apply(p["unet"], x, t, context=text_embed)
 
@@ -181,6 +206,11 @@ def main():
                                    uncond_conditioning=ue,
                                    model_kwargs=dict(text_embed=ce))
 
+    from _common import DataParallelSampler
+
+    # DP-shard like every other sampling CLI: params replicated once, the
+    # per-batch (noise, cond, uncond) sharded on the leading axis
+    dp_s = DataParallelSampler(params)
     os.makedirs(args.save_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     done = 0
@@ -189,11 +219,12 @@ def main():
         k = jax.random.fold_in(rng, batch_i)
         k_noise, k_samp = jax.random.split(k)
         noise = jax.random.normal(k_noise, (args.batch_size, lat_h, lat_w, 4))
-        z = sample_fn(params, noise, k_samp)
-        imgs = np.clip(np.asarray(sd.decode_latent(params, z)), -1, 1)
-        for b in range(min(args.batch_size, args.n_samples - done)):
+        (noise_s, ce_s, ue_s), true_b = dp_s.pad_shard((noise, ce, ue))
+        z = sample_fn(dp_s.params, noise_s, ce_s, ue_s, k_samp)[:true_b]
+        imgs = np.clip(np.asarray(sd.decode_latent(dp_s.params, z)), -1, 1)
+        for b in range(min(true_b, args.n_samples - done)):
             to_pil(imgs[b]).save(os.path.join(args.save_dir, f"{done + b}.png"))
-        done += min(args.batch_size, args.n_samples - done)
+        done += min(true_b, args.n_samples - done)
         batch_i += 1
         logger.info(f"saved {done}/{args.n_samples}")
 

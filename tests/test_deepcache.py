@@ -167,3 +167,56 @@ def test_deepcache_interval1_exact_for_stochastic_and_guided(setup):
             diffuser, full_fn, shallow_fn, n, k, interval=1))(noise, key)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_deepcache_cfg_postprocess_interval1_equals_ddimcfg(setup):
+    """The CFG seam (review finding): a 2B-batched DeepCache loop whose
+    postprocess splits, per-branch predicts (clip_denoised clips each branch
+    like DDPMCFG) and combines eps must reproduce DDIMCFG.sample exactly at
+    interval=1 — the semantics scripts/sample_sd.py --deepcache relies on."""
+    from dmtpu.diffusions import DDIMCFG
+
+    model, params, x, t, ctx = setup
+    s = 3.0
+    dp = dict(total_steps=100, respace_type="uniform", respace_steps=6,
+              clip_denoised=True)
+    noise = jax.random.normal(jax.random.PRNGKey(20), (2, 16, 16, 4))
+    key = jax.random.PRNGKey(21)
+    uctx = jnp.zeros_like(ctx)
+    with jax.default_device(CPU):
+        cfg = DDIMCFG(guidance_scale=s, cond_kwarg="text_embed", **dp)
+        want = jax.jit(lambda n, k: cfg.sample(
+            lambda xx, tt, text_embed=None, **kw: model.apply(
+                params, xx, tt, text_embed),
+            n, k, uncond_conditioning=uctx,
+            model_kwargs=dict(text_embed=ctx)))(noise, key)
+
+        diffuser = DDIM(**dp)
+        ctx2 = jnp.concatenate([ctx, uctx])
+
+        def cfg_postprocess(out2, xc, c):
+            oc, ou = jnp.split(out2, 2, axis=0)
+            eps_c = diffuser.predict(oc, xc, c)["pred_eps"]
+            eps_u = diffuser.predict(ou, xc, c)["pred_eps"]
+            return (1.0 - s) * eps_u + s * eps_c
+
+        def full_fn(xx, tt):
+            return model.apply(params, jnp.concatenate([xx, xx]),
+                               jnp.concatenate([tt, tt]), ctx2, dc_skip=3)
+
+        def shallow_fn(xx, tt, u):
+            return model.apply(params, jnp.concatenate([xx, xx]),
+                               jnp.concatenate([tt, tt]), ctx2, dc_skip=3,
+                               dc_cached=u)[0]
+
+        got = jax.jit(lambda n, k: deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, k, interval=1,
+            postprocess=cfg_postprocess))(noise, key)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+        got2 = jax.jit(lambda n, k: deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, k, interval=2,
+            postprocess=cfg_postprocess))(noise, key)
+        assert np.all(np.isfinite(np.asarray(got2)))
+        assert not np.allclose(np.asarray(got2), np.asarray(want), atol=1e-6)

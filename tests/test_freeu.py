@@ -139,3 +139,8 @@ class TestUNetFreeU:
         assert sd.unet.freeu == SD15_DEFAULTS
         sd.set_freeu(None)
         assert sd.unet.freeu is None
+        # wrong arity must fail fast here, not deep inside a jit trace
+        import pytest
+
+        with pytest.raises(ValueError, match="exactly"):
+            sd.set_freeu((1.5, 0.9))

@@ -72,6 +72,16 @@ class TestGuidanceInterval:
             cls(guidance_scale=3.0, guidance_interval=(50.0, 50.0), **COMMON)
 
 
+def test_solver_cfg_classes_reject_interval():
+    # DPM-Solver++/PFDiff CFG bypass _model_step, so accepting the kwarg
+    # would silently ignore it (review finding) — they must refuse loudly
+    from dmtpu.diffusions import DPMSolverPPCFG, PFDiffDDIMCFG
+
+    for cls in (DPMSolverPPCFG, PFDiffDDIMCFG):
+        with pytest.raises(NotImplementedError, match="DDPMCFG/DDIMCFG"):
+            cls(guidance_scale=3.0, guidance_interval=(10.0, 60.0), **COMMON)
+
+
 def test_learned_range_variance_rides_cond_branch():
     # 2C-channel model output: the variance channels must thread through
     # BOTH lax.cond branches (guided and plain)
@@ -80,7 +90,7 @@ def test_learned_range_variance_rides_cond_branch():
         return jnp.concatenate([eps, jnp.zeros_like(eps)], axis=-1)
 
     d = DDPMCFG(guidance_scale=4.0, guidance_interval=(20.0, 70.0),
-                var_type="learned_range", **{k: v for k, v in COMMON.items()})
+                var_type="learned_range", **COMMON)
     noise = jax.random.normal(jax.random.PRNGKey(6), (2, 8, 8, 3))
     out = d.sample(model_2c, noise, jax.random.PRNGKey(7),
                    uncond_conditioning=jnp.zeros((2,), jnp.int32),

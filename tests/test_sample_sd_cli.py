@@ -35,6 +35,8 @@ def _run(tmp_path, monkeypatch, out_name, extra_args):
 @pytest.mark.parametrize("name,extra", [
     ("ddim", []),
     ("accel", ["--tome_ratio", "0.5", "--tome_max_downsample", "2", "--freeu"]),
+    ("freeu21", ["--freeu", "sd21"]),
+    ("freeu_scales", ["--freeu_scales", "1.2", "1.3", "0.9", "0.3"]),
     ("deepcache", ["--deepcache", "2", "2"]),
     ("interval", ["--guidance_interval", "20", "80"]),
     ("pfdiff", ["--sampler", "pfdiff"]),
@@ -42,6 +44,32 @@ def _run(tmp_path, monkeypatch, out_name, extra_args):
 def test_sample_sd_matrix(tmp_path, monkeypatch, name, extra):
     files = _run(tmp_path, monkeypatch, f"out_{name}", extra)
     assert files == ["0.png", "1.png"]
+
+
+def test_real_weights_without_tokenizer_abort(tmp_path, monkeypatch):
+    # pseudo-tokens + real weights would silently make garbage images
+    # (review finding): the CLI must refuse instead
+    import jax
+    import numpy as np
+
+    from dmtpu.utils.config import instantiate_from_config, load_config
+
+    conf = tiny_sd_config(tmp_path / "sd.yaml")
+    sd = instantiate_from_config(load_config(conf).model)
+    params = sd.init_params(jax.random.PRNGKey(0), img_size=64)
+    wpath = tmp_path / "w.npz"
+    np.savez(wpath, params=np.asarray(
+        jax.tree.map(lambda a: np.asarray(a), params), dtype=object))
+    argv = ["sample_sd.py", "-c", conf, "--prompt", "a cat",
+            "--save_dir", str(tmp_path / "o"), "--weights", str(wpath),
+            "--n_samples", "2", "--batch_size", "2", "--height", "64",
+            "--width", "64", "--respace_steps", "4"]
+    monkeypatch.setattr(sys, "argv", argv)
+    monkeypatch.delenv("DMTPU_CLIP_TOKENIZER", raising=False)
+    import sample_sd
+
+    with pytest.raises(SystemExit, match="DMTPU_CLIP_TOKENIZER"):
+        sample_sd.main()
 
 
 def test_flag_conflicts_abort(tmp_path, monkeypatch):
