@@ -103,6 +103,7 @@ def pfdiff_deepcache_sample(
     shallow_fn: Callable[[Array, Array, Array], Array],
     init_noise: Array,
     interval: int = 2,
+    eps_fn: Optional[Callable[[Array, Array, Dict[str, Array]], Array]] = None,
 ) -> Array:
     """PFDiff-1 grid traversal with DeepCache model dispatch.
 
@@ -116,8 +117,13 @@ def pfdiff_deepcache_sample(
     ``shallow_fn(x, t_batch, cache) -> model_out`` close over conditioning
     exactly as in ``deepcache_sample``.  Model-call 0 (the PFDiff anchor)
     always runs full to establish the cache; ``interval=1`` reproduces plain
-    ``PFDiffDDIM.sample`` exactly (tested).  CFG is not plumbed here — wrap
-    the guided combination inside ``full_fn``/``shallow_fn`` if needed.
+    ``PFDiffDDIM.sample`` exactly (tested).
+
+    ``eps_fn(model_out, x, c) -> eps`` (optional) replaces the default
+    ``diffuser.predict(...)["pred_eps"]`` — the CFG seam: a 2B-batched
+    full/shallow output is split, per-branch predicted and combined into the
+    guided eps exactly as ``PFDiffDDIMCFG._eps_at`` does; interval=1 with
+    that ``eps_fn`` is trajectory-exact vs ``PFDiffDDIMCFG.sample`` (tested).
     """
     if interval < 1:
         raise ValueError(f"interval must be >= 1, got {interval}")
@@ -129,6 +135,8 @@ def pfdiff_deepcache_sample(
     b = x.shape[0]
 
     def eps_from(out, xc, c):
+        if eps_fn is not None:
+            return eps_fn(out, xc, c)
         return diffuser.predict(out, xc, c)["pred_eps"]
 
     # anchor (call 0): always full — establishes the cache

@@ -79,8 +79,8 @@ def parse_args():
     p.add_argument("--deepcache", type=int, nargs=2, default=None,
                    metavar=("INTERVAL", "SKIP"))
     args = p.parse_args()
-    if args.deepcache is not None and args.sampler != "ddim":
-        p.error("--deepcache composes with the ddim sampler")
+    if args.deepcache is not None and args.sampler not in ("ddim", "pfdiff"):
+        p.error("--deepcache composes with the ddim/pfdiff samplers")
     if args.deepcache is not None and args.guidance_interval is not None:
         p.error("--deepcache and --guidance_interval are not composed yet")
     if args.guidance_interval is not None and args.sampler not in ("ddim", "ddpm"):
@@ -160,14 +160,18 @@ def main():
 
     if args.deepcache is not None:
         interval, skip = args.deepcache
-        diffuser = DDIM(**dp)
+        pfdiff_dc = args.sampler == "pfdiff"
+        from dmtpu.diffusions import PFDiffDDIM
+        from dmtpu.diffusions.deepcache import pfdiff_deepcache_sample
+
+        diffuser = (PFDiffDDIM if pfdiff_dc else DDIM)(**dp)
 
         # one 2B-batched call per step; the cache carries both halves, and
-        # the CFG combine happens in deepcache's postprocess WITH the tape
-        # row in hand — per-branch predict (so clip_denoised clips each
-        # branch exactly like DDPMCFG), then the (1-s)/s eps combine.
-        # interval=1 is trajectory-exact vs DDIMCFG.sample (tested).
-        def cfg_postprocess(out2, xc, c):
+        # the CFG combine happens in the loop's postprocess/eps_fn seam WITH
+        # the tape row in hand — per-branch predict (so clip_denoised clips
+        # each branch exactly like DDPMCFG), then the (1-s)/s eps combine.
+        # interval=1 is trajectory-exact vs DDIMCFG/PFDiffDDIMCFG (tested).
+        def cfg_combine(out2, xc, c):
             oc, ou = jnp.split(out2, 2, axis=0)
             eps_c = diffuser.predict(oc, xc, c)["pred_eps"]
             eps_u = diffuser.predict(ou, xc, c)["pred_eps"]
@@ -188,9 +192,14 @@ def main():
                 # sized for the doubled batch
                 return raw_out(x, t, dict(dc_skip=skip, dc_cached=u))[0]
 
+            if pfdiff_dc:
+                del key  # PFDiff is deterministic
+                return pfdiff_deepcache_sample(diffuser, full_fn, shallow_fn,
+                                               noise, interval=interval,
+                                               eps_fn=cfg_combine)
             return deepcache_sample(diffuser, full_fn, shallow_fn, noise, key,
                                     interval=interval,
-                                    postprocess=cfg_postprocess)
+                                    postprocess=cfg_combine)
     else:
         extra = dict(guidance_scale=s, cond_kwarg="text_embed")
         if args.guidance_interval is not None:

@@ -220,3 +220,55 @@ def test_deepcache_cfg_postprocess_interval1_equals_ddimcfg(setup):
             postprocess=cfg_postprocess))(noise, key)
         assert np.all(np.isfinite(np.asarray(got2)))
         assert not np.allclose(np.asarray(got2), np.asarray(want), atol=1e-6)
+
+
+def test_pfdiff_deepcache_cfg_eps_fn_interval1_equals_pfdiffcfg(setup):
+    """The composed PFDiff x DeepCache loop with the CFG eps_fn at interval=1
+    must reproduce PFDiffDDIMCFG.sample exactly (the sample_sd.py
+    --sampler pfdiff --deepcache semantics)."""
+    from dmtpu.diffusions import PFDiffDDIM, PFDiffDDIMCFG
+    from dmtpu.diffusions.deepcache import pfdiff_deepcache_sample
+
+    model, params, x, t, ctx = setup
+    s = 3.0
+    dp = dict(total_steps=100, respace_type="uniform", respace_steps=8,
+              clip_denoised=True)
+    noise = jax.random.normal(jax.random.PRNGKey(30), (2, 16, 16, 4))
+    uctx = jnp.zeros_like(ctx)
+    with jax.default_device(CPU):
+        cfg = PFDiffDDIMCFG(guidance_scale=s, cond_kwarg="text_embed", **dp)
+        want = jax.jit(lambda n: cfg.sample(
+            lambda xx, tt, text_embed=None, **kw: model.apply(
+                params, xx, tt, text_embed),
+            n, jax.random.PRNGKey(0), uncond_conditioning=uctx,
+            model_kwargs=dict(text_embed=ctx)))(noise)
+
+        diffuser = PFDiffDDIM(**dp)
+        ctx2 = jnp.concatenate([ctx, uctx])
+
+        def cfg_combine(out2, xc, c):
+            oc, ou = jnp.split(out2, 2, axis=0)
+            eps_c = diffuser.predict(oc, xc, c)["pred_eps"]
+            eps_u = diffuser.predict(ou, xc, c)["pred_eps"]
+            return (1.0 - s) * eps_u + s * eps_c
+
+        def full_fn(xx, tt):
+            return model.apply(params, jnp.concatenate([xx, xx]),
+                               jnp.concatenate([tt, tt]), ctx2, dc_skip=3)
+
+        def shallow_fn(xx, tt, u):
+            return model.apply(params, jnp.concatenate([xx, xx]),
+                               jnp.concatenate([tt, tt]), ctx2, dc_skip=3,
+                               dc_cached=u)[0]
+
+        got = jax.jit(lambda n: pfdiff_deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, interval=1,
+            eps_fn=cfg_combine))(noise)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+        got2 = jax.jit(lambda n: pfdiff_deepcache_sample(
+            diffuser, full_fn, shallow_fn, n, interval=2,
+            eps_fn=cfg_combine))(noise)
+        assert np.all(np.isfinite(np.asarray(got2)))
+        assert not np.allclose(np.asarray(got2), np.asarray(want), atol=1e-6)

@@ -40,6 +40,10 @@ def _run(tmp_path, monkeypatch, out_name, extra_args):
     ("deepcache", ["--deepcache", "2", "2"]),
     ("interval", ["--guidance_interval", "20", "80"]),
     ("pfdiff", ["--sampler", "pfdiff"]),
+    ("pfdiff_deepcache", ["--sampler", "pfdiff", "--deepcache", "2", "2"]),
+    ("max_stack", ["--sampler", "pfdiff", "--deepcache", "2", "2",
+                   "--tome_ratio", "0.5", "--tome_max_downsample", "2",
+                   "--freeu"]),
 ])
 def test_sample_sd_matrix(tmp_path, monkeypatch, name, extra):
     files = _run(tmp_path, monkeypatch, f"out_{name}", extra)
@@ -76,7 +80,7 @@ def test_flag_conflicts_abort(tmp_path, monkeypatch):
     conf = tiny_sd_config(tmp_path / "sd.yaml")
     argv = ["sample_sd.py", "-c", conf, "--prompt", "x",
             "--save_dir", str(tmp_path / "o"),
-            "--deepcache", "2", "1", "--sampler", "pfdiff"]
+            "--deepcache", "2", "1", "--sampler", "dpmpp"]
     monkeypatch.setattr(sys, "argv", argv)
     import sample_sd
 
