@@ -172,6 +172,40 @@ def main():
     # failure in the composed stack can't discard the plain ToMe number
     tome_built = build_sd15_unet(tome_ratio=0.5)
 
+    def cfg_serving():
+        # production text2img shape: DDIM-50 with CFG (one 2B-batched call
+        # per step) at s=7.5, and the same with limited-interval guidance
+        # (t in (180, 730] guided; one B call elsewhere) — the interval
+        # lever's end-to-end win on chip
+        import jax
+        import jax.numpy as jnp
+
+        from dmtpu.diffusions import DDIMCFG
+
+        b = SD_BATCH // 2  # 2B-batched CFG doubles the model batch
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (b, 77, 768))
+        uctx = jnp.zeros_like(ctx)
+        out = {}
+        for label, extra_kw in (("sd15_cfg50", {}),
+                                ("sd15_cfg50_interval",
+                                 {"guidance_interval": (180.0, 730.0)})):
+            diffuser = DDIMCFG(total_steps=1000, respace_type="uniform",
+                               respace_steps=50, guidance_scale=7.5,
+                               cond_kwarg="text_embed", **extra_kw)
+
+            @jax.jit
+            def sample(p, noise, key):
+                return diffuser.sample(  # noqa: B023 — consumed immediately
+                    lambda x, t, text_embed=None, **kw: sd_apply(p, x, t, text_embed),
+                    noise, key, uncond_conditioning=uctx,
+                    model_kwargs=dict(text_embed=ctx))
+
+            from northstar import _time_sample_fn
+
+            sps, _ = _time_sample_fn(sample, sd_init, 64, b, reps=5)
+            out[f"{label}_samples_per_sec"] = round(sps, 3)
+        return out
+
     def tome():
         # Token Merging ratio 0.5 at the 64x64 level (dmtpu/ops/tome.py):
         # straight DDIM-50, cheaper model calls (params identical)
@@ -192,6 +226,7 @@ def main():
     soft("sd15_pfdiff_deepcache", pfdiff_deepcache)
     soft("sd15_tome", tome)
     soft("sd15_tome_stack", tome_stack)
+    soft("sd15_cfg_serving", cfg_serving)
     soft("dit", dit)
     soft("sdxl", sdxl)
     soft("sd15_train", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH))
