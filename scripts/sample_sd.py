@@ -78,7 +78,19 @@ def parse_args():
                    help="explicit FreeU scales (overrides --freeu preset)")
     p.add_argument("--deepcache", type=int, nargs=2, default=None,
                    metavar=("INTERVAL", "SKIP"))
+    p.add_argument("--init_image", type=str, default=None,
+                   help="img2img (SDEdit in latent space): encode this image, "
+                        "diffuse to strength*steps, run the reverse tail")
+    p.add_argument("--strength", type=float, default=0.75,
+                   help="img2img noising fraction in (0, 1]: 1.0 = full noise")
     args = p.parse_args()
+    if args.init_image is not None:
+        if args.sampler == "pfdiff":
+            p.error("--init_image needs a start_step sampler (ddim/ddpm/dpmpp)")
+        if args.deepcache is not None:
+            p.error("--init_image and --deepcache are not composed yet")
+        if not 0.0 < args.strength <= 1.0:
+            p.error("--strength must be in (0, 1]")
     if args.deepcache is not None and args.sampler not in ("ddim", "pfdiff"):
         p.error("--deepcache composes with the ddim/pfdiff samplers")
     if args.deepcache is not None and args.guidance_interval is not None:
@@ -206,14 +218,46 @@ def main():
             extra["guidance_interval"] = tuple(args.guidance_interval)
         diffuser = _SAMPLERS[args.sampler](**dp, **extra)
 
-        @jax.jit
-        def sample_fn(p, noise, ce, ue, key):
-            def model_fn(x, t, text_embed=None, **kw):
-                return sd.unet.apply(p["unet"], x, t, context=text_embed)
+        if args.init_image is not None:
+            # img2img: encode -> q-diffuse to the strength point -> run the
+            # tail of the reverse tape (the sample_sdedit.py pattern, in
+            # latent space)
+            S = len(diffuser.respaced_seq)
+            edit_steps = max(1, min(S, round(args.strength * S)))
+            t_edit = int(diffuser.respaced_seq[edit_steps - 1])
+            start_row = S - edit_steps
 
-            return diffuser.sample(model_fn, noise, key,
-                                   uncond_conditioning=ue,
-                                   model_kwargs=dict(text_embed=ce))
+            @jax.jit
+            def sample_fn(p, noise, img, ce, ue, key):
+                def model_fn(x, t, text_embed=None, **kw):
+                    return sd.unet.apply(p["unet"], x, t, context=text_embed)
+
+                k_enc, k_samp = jax.random.split(key)
+                z0 = sd.encode_latent(p, img, k_enc)
+                xt = diffuser.diffuse(
+                    z0, jnp.full((z0.shape[0],), t_edit, jnp.int32), noise)
+                return diffuser.sample(model_fn, xt, k_samp,
+                                       uncond_conditioning=ue,
+                                       model_kwargs=dict(text_embed=ce),
+                                       start_step=start_row)
+        else:
+            @jax.jit
+            def sample_fn(p, noise, ce, ue, key):
+                def model_fn(x, t, text_embed=None, **kw):
+                    return sd.unet.apply(p["unet"], x, t, context=text_embed)
+
+                return diffuser.sample(model_fn, noise, key,
+                                       uncond_conditioning=ue,
+                                       model_kwargs=dict(text_embed=ce))
+
+    init_img = None
+    if args.init_image is not None:
+        from PIL import Image
+
+        im = Image.open(args.init_image).convert("RGB").resize(
+            (args.width, args.height), Image.LANCZOS)
+        arr = np.asarray(im, np.float32) / 127.5 - 1.0
+        init_img = jnp.tile(jnp.asarray(arr)[None], (args.batch_size, 1, 1, 1))
 
     from _common import DataParallelSampler
 
@@ -228,8 +272,13 @@ def main():
         k = jax.random.fold_in(rng, batch_i)
         k_noise, k_samp = jax.random.split(k)
         noise = jax.random.normal(k_noise, (args.batch_size, lat_h, lat_w, 4))
-        (noise_s, ce_s, ue_s), true_b = dp_s.pad_shard((noise, ce, ue))
-        z = sample_fn(dp_s.params, noise_s, ce_s, ue_s, k_samp)[:true_b]
+        if init_img is not None:
+            (noise_s, img_s, ce_s, ue_s), true_b = dp_s.pad_shard(
+                (noise, init_img, ce, ue))
+            z = sample_fn(dp_s.params, noise_s, img_s, ce_s, ue_s, k_samp)[:true_b]
+        else:
+            (noise_s, ce_s, ue_s), true_b = dp_s.pad_shard((noise, ce, ue))
+            z = sample_fn(dp_s.params, noise_s, ce_s, ue_s, k_samp)[:true_b]
         imgs = np.clip(np.asarray(sd.decode_latent(dp_s.params, z)), -1, 1)
         for b in range(min(true_b, args.n_samples - done)):
             to_pil(imgs[b]).save(os.path.join(args.save_dir, f"{done + b}.png"))

@@ -50,6 +50,34 @@ def test_sample_sd_matrix(tmp_path, monkeypatch, name, extra):
     assert files == ["0.png", "1.png"]
 
 
+def test_img2img(tmp_path, monkeypatch):
+    # SDEdit-in-latent-space: encode a real PNG, diffuse to strength*steps,
+    # run the reverse tail; dpmpp also supports start_step
+    from PIL import Image
+    import numpy as np
+
+    src = tmp_path / "init.png"
+    rng = np.random.RandomState(0)
+    Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(src)
+    for name, extra in [("i2i", []), ("i2i_dpmpp", ["--sampler", "dpmpp"])]:
+        files = _run(tmp_path, monkeypatch, f"out_{name}",
+                     ["--init_image", str(src), "--strength", "0.5"] + extra)
+        assert files == ["0.png", "1.png"]
+
+
+def test_img2img_flag_conflicts(tmp_path, monkeypatch):
+    import sample_sd
+
+    conf = tiny_sd_config(tmp_path / "sd.yaml")
+    base = ["sample_sd.py", "-c", conf, "--prompt", "x",
+            "--save_dir", str(tmp_path / "o"), "--init_image", "x.png"]
+    for bad in (["--sampler", "pfdiff"], ["--deepcache", "2", "1"],
+                ["--strength", "1.5"]):
+        monkeypatch.setattr(sys, "argv", base + bad)
+        with pytest.raises(SystemExit):
+            sample_sd.main()
+
+
 def test_real_weights_without_tokenizer_abort(tmp_path, monkeypatch):
     # pseudo-tokens + real weights would silently make garbage images
     # (review finding): the CLI must refuse instead
