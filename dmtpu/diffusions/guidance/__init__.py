@@ -1,9 +1,10 @@
 """Guidance suite: composable per-step transforms inside the compiled loop."""
 from dmtpu.diffusions.guidance.base import BaseGuidance
 from dmtpu.diffusions.guidance.ilvr import ILVR
-from dmtpu.diffusions.guidance.mask_guidance import MaskGuidance
+from dmtpu.diffusions.guidance.mask_guidance import MaskGuidance, MaskGuidanceDDIMCFG
 
-__all__ = ["BaseGuidance", "MaskGuidance", "ILVR", "CLIPGuidance"]
+__all__ = ["BaseGuidance", "MaskGuidance", "MaskGuidanceDDIMCFG", "ILVR",
+           "CLIPGuidance"]
 
 
 def __getattr__(name):

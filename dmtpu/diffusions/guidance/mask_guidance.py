@@ -151,3 +151,20 @@ class MaskGuidance(BaseGuidance):
         final, _ = self.resample_loop(model_fn, init_noise, rng, resample_r,
                                       resample_j, model_kwargs, **kwargs)
         return final
+
+
+from dmtpu.diffusions.ddim import DDIMCFG as _DDIMCFG_BASE
+
+
+class MaskGuidanceDDIMCFG(MaskGuidance, _DDIMCFG_BASE):
+    """Latent inpainting with classifier-free guidance (beyond parity).
+
+    Cooperative-MRO composition: MaskGuidance contributes the per-step
+    known-region overwrite (``cond_fn_sample``), DDIMCFG the batched
+    2B cond+uncond call and DDIM stepping — the hooks meet in the shared
+    ``sample_loop``/``apply_guidance`` seam, so the whole inpainting-CFG
+    reverse process is still one ``lax.scan``.  A fully-known mask
+    reproduces the ground-truth image exactly at t=0 (tested); used by
+    ``scripts/sample_sd.py --inpaint_image/--inpaint_mask`` in LATENT space
+    (mask downsampled to the latent grid).
+    """

@@ -83,7 +83,21 @@ def parse_args():
                         "diffuse to strength*steps, run the reverse tail")
     p.add_argument("--strength", type=float, default=0.75,
                    help="img2img noising fraction in (0, 1]: 1.0 = full noise")
+    p.add_argument("--inpaint_image", type=str, default=None,
+                   help="latent inpainting: keep this image where the mask "
+                        "is white, regenerate the rest (ddim only)")
+    p.add_argument("--inpaint_mask", type=str, default=None,
+                   help="mask image (white/>=128 = keep); downsampled to the "
+                        "latent grid")
     args = p.parse_args()
+    if (args.inpaint_image is None) != (args.inpaint_mask is None):
+        p.error("--inpaint_image and --inpaint_mask go together")
+    if args.inpaint_image is not None:
+        if args.sampler != "ddim":
+            p.error("--inpaint_image supports the ddim sampler")
+        if args.deepcache is not None or args.init_image is not None:
+            p.error("--inpaint_image composes with neither --deepcache nor "
+                    "--init_image")
     if args.init_image is not None:
         if args.sampler == "pfdiff":
             p.error("--init_image needs a start_step sampler (ddim/ddpm/dpmpp)")
@@ -170,6 +184,12 @@ def main():
     s = args.guidance_scale
     lat_h, lat_w = args.height // 8, args.width // 8
 
+    from _common import DataParallelSampler
+
+    # DP-shard like every other sampling CLI: params replicated once, the
+    # per-batch (noise, cond, uncond) sharded on the leading axis
+    dp_s = DataParallelSampler(params)
+
     if args.deepcache is not None:
         interval, skip = args.deepcache
         pfdiff_dc = args.sampler == "pfdiff"
@@ -216,7 +236,33 @@ def main():
         extra = dict(guidance_scale=s, cond_kwarg="text_embed")
         if args.guidance_interval is not None:
             extra["guidance_interval"] = tuple(args.guidance_interval)
-        diffuser = _SAMPLERS[args.sampler](**dp, **extra)
+        if args.inpaint_image is not None:
+            # latent inpainting: MaskGuidance x DDIMCFG cooperative MRO —
+            # per-step known-region overwrite rides the guidance hook in
+            # the same compiled scan (dmtpu/diffusions/guidance)
+            from PIL import Image
+
+            from dmtpu.diffusions.guidance import MaskGuidanceDDIMCFG
+
+            im = Image.open(args.inpaint_image).convert("RGB").resize(
+                (args.width, args.height), Image.LANCZOS)
+            arr = np.asarray(im, np.float32) / 127.5 - 1.0
+            img_b = jnp.tile(jnp.asarray(arr)[None],
+                             (args.batch_size, 1, 1, 1))
+            mk = Image.open(args.inpaint_mask).convert("L").resize(
+                (lat_w, lat_h), Image.NEAREST)
+            lat_mask = (np.asarray(mk, np.float32) >= 128.0).astype(np.float32)
+            lat_mask = jnp.tile(jnp.asarray(lat_mask)[None, :, :, None],
+                                (args.batch_size, 1, 1, 1))
+            diffuser = MaskGuidanceDDIMCFG(**dp, **extra)
+            z_known = sd.encode_latent(params, img_b,
+                                       jax.random.PRNGKey(args.seed + 1))
+            # the guidance state must match the PADDED DP batch the jitted
+            # sampler sees (pad_shard wraps rows to a device-count multiple)
+            (z_known, lat_mask), _ = dp_s.pad_shard((z_known, lat_mask))
+            diffuser.set_mask_and_image(z_known, lat_mask)
+        else:
+            diffuser = _SAMPLERS[args.sampler](**dp, **extra)
 
         if args.init_image is not None:
             # img2img: encode -> q-diffuse to the strength point -> run the
@@ -259,11 +305,6 @@ def main():
         arr = np.asarray(im, np.float32) / 127.5 - 1.0
         init_img = jnp.tile(jnp.asarray(arr)[None], (args.batch_size, 1, 1, 1))
 
-    from _common import DataParallelSampler
-
-    # DP-shard like every other sampling CLI: params replicated once, the
-    # per-batch (noise, cond, uncond) sharded on the leading axis
-    dp_s = DataParallelSampler(params)
     os.makedirs(args.save_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
     done = 0

@@ -65,6 +65,39 @@ def test_img2img(tmp_path, monkeypatch):
         assert files == ["0.png", "1.png"]
 
 
+def test_inpaint(tmp_path, monkeypatch):
+    # latent inpainting: image + mask through MaskGuidanceDDIMCFG
+    from PIL import Image
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    src = tmp_path / "inp.png"
+    Image.fromarray(rng.randint(0, 255, (48, 48, 3), np.uint8)).save(src)
+    mask = tmp_path / "mask.png"
+    m = np.full((48, 48), 255, np.uint8)
+    m[12:36, 12:36] = 0  # regenerate the center
+    Image.fromarray(m).save(mask)
+    files = _run(tmp_path, monkeypatch, "out_inpaint",
+                 ["--inpaint_image", str(src), "--inpaint_mask", str(mask)])
+    assert files == ["0.png", "1.png"]
+
+
+def test_inpaint_flag_conflicts(tmp_path, monkeypatch):
+    import sample_sd
+
+    conf = tiny_sd_config(tmp_path / "sd.yaml")
+    base = ["sample_sd.py", "-c", conf, "--prompt", "x",
+            "--save_dir", str(tmp_path / "o")]
+    for bad in (["--inpaint_image", "a.png"],  # mask missing
+                ["--inpaint_image", "a.png", "--inpaint_mask", "m.png",
+                 "--sampler", "dpmpp"],
+                ["--inpaint_image", "a.png", "--inpaint_mask", "m.png",
+                 "--init_image", "b.png"]):
+        monkeypatch.setattr(sys, "argv", base + bad)
+        with pytest.raises(SystemExit):
+            sample_sd.main()
+
+
 def test_img2img_flag_conflicts(tmp_path, monkeypatch):
     import sample_sd
 
