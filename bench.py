@@ -62,6 +62,7 @@ from dmtpu.utils.setup import setup_jax  # noqa: E402
 setup_jax()
 
 from northstar import (  # noqa: E402
+    _time_sample_fn,
     A100_BASELINE_DIT,
     A100_BASELINE_SD15,
     A100_BASELINE_SDXL,
@@ -101,8 +102,11 @@ def main():
     # Wall-clock budget: with a cold compile cache (e.g. the tunnel only
     # recovered at driver time) the extras could outlive the driver's
     # timeout and the process would die BEFORE printing the payload line.
-    # Skipping remaining extras once the budget is spent guarantees the
-    # artifact exists; skipped extras are recorded by name.
+    # The gate only skips extras that have NOT started — an extra already
+    # running can still overshoot, so the protection holds when
+    # driver_timeout > budget + max(single-extra duration); the 1800 s
+    # default leaves that headroom against the slowest observed extra
+    # (DiT train cold compile ~14 min).  Skipped extras are recorded.
     bench_t0 = time.monotonic()
     budget_s = float(os.environ.get("DMTPU_BENCH_BUDGET_S", "1800"))
 
@@ -199,8 +203,6 @@ def main():
                     lambda x, t, text_embed=None, **kw: sd_apply(p, x, t, text_embed),
                     noise, key, uncond_conditioning=uctx,
                     model_kwargs=dict(text_embed=ctx))
-
-            from northstar import _time_sample_fn
 
             sps, _ = _time_sample_fn(sample, sd_init, 64, b, reps=5)
             out[f"{label}_samples_per_sec"] = round(sps, 3)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dmtpu.diffusions.ddim import DDIMCFG as _DDIMCFG_BASE
 from dmtpu.diffusions.ddpm import Array, ModelFn
 from dmtpu.diffusions.guidance.base import BaseGuidance
 
@@ -151,9 +152,6 @@ class MaskGuidance(BaseGuidance):
         final, _ = self.resample_loop(model_fn, init_noise, rng, resample_r,
                                       resample_j, model_kwargs, **kwargs)
         return final
-
-
-from dmtpu.diffusions.ddim import DDIMCFG as _DDIMCFG_BASE
 
 
 class MaskGuidanceDDIMCFG(MaskGuidance, _DDIMCFG_BASE):

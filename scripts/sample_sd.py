@@ -125,6 +125,15 @@ def _demo_token_ids(text: str, max_length: int, vocab: int) -> np.ndarray:
     return ids[None]
 
 
+def _load_image_batch(path: str, width: int, height: int, batch: int):
+    """PNG/JPEG -> [-1, 1] float32 NHWC, tiled to the batch size."""
+    from PIL import Image
+
+    im = Image.open(path).convert("RGB").resize((width, height), Image.LANCZOS)
+    arr = np.asarray(im, np.float32) / 127.5 - 1.0
+    return jnp.tile(jnp.asarray(arr)[None], (batch, 1, 1, 1))
+
+
 def encode_prompt(sd, params, text: str, batch: int, real_weights: bool):
     te = sd.text_encoder
     tok = os.environ.get("DMTPU_CLIP_TOKENIZER")
@@ -244,11 +253,8 @@ def main():
 
             from dmtpu.diffusions.guidance import MaskGuidanceDDIMCFG
 
-            im = Image.open(args.inpaint_image).convert("RGB").resize(
-                (args.width, args.height), Image.LANCZOS)
-            arr = np.asarray(im, np.float32) / 127.5 - 1.0
-            img_b = jnp.tile(jnp.asarray(arr)[None],
-                             (args.batch_size, 1, 1, 1))
+            img_b = _load_image_batch(args.inpaint_image, args.width,
+                                      args.height, args.batch_size)
             mk = Image.open(args.inpaint_mask).convert("L").resize(
                 (lat_w, lat_h), Image.NEAREST)
             lat_mask = (np.asarray(mk, np.float32) >= 128.0).astype(np.float32)
@@ -274,15 +280,13 @@ def main():
             start_row = S - edit_steps
 
             @jax.jit
-            def sample_fn(p, noise, img, ce, ue, key):
+            def sample_fn(p, noise, z0, ce, ue, key):
                 def model_fn(x, t, text_embed=None, **kw):
                     return sd.unet.apply(p["unet"], x, t, context=text_embed)
 
-                k_enc, k_samp = jax.random.split(key)
-                z0 = sd.encode_latent(p, img, k_enc)
                 xt = diffuser.diffuse(
                     z0, jnp.full((z0.shape[0],), t_edit, jnp.int32), noise)
-                return diffuser.sample(model_fn, xt, k_samp,
+                return diffuser.sample(model_fn, xt, key,
                                        uncond_conditioning=ue,
                                        model_kwargs=dict(text_embed=ce),
                                        start_step=start_row)
@@ -296,14 +300,14 @@ def main():
                                        uncond_conditioning=ue,
                                        model_kwargs=dict(text_embed=ce))
 
-    init_img = None
+    init_lat = None
     if args.init_image is not None:
-        from PIL import Image
-
-        im = Image.open(args.init_image).convert("RGB").resize(
-            (args.width, args.height), Image.LANCZOS)
-        arr = np.asarray(im, np.float32) / 127.5 - 1.0
-        init_img = jnp.tile(jnp.asarray(arr)[None], (args.batch_size, 1, 1, 1))
+        # encode ONCE (the init image is constant across batches) instead of
+        # re-running the VAE encoder inside every jitted sampler call
+        img_b = _load_image_batch(args.init_image, args.width, args.height,
+                                  args.batch_size)
+        init_lat = sd.encode_latent(params, img_b,
+                                    jax.random.PRNGKey(args.seed + 2))
 
     os.makedirs(args.save_dir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
@@ -313,10 +317,10 @@ def main():
         k = jax.random.fold_in(rng, batch_i)
         k_noise, k_samp = jax.random.split(k)
         noise = jax.random.normal(k_noise, (args.batch_size, lat_h, lat_w, 4))
-        if init_img is not None:
-            (noise_s, img_s, ce_s, ue_s), true_b = dp_s.pad_shard(
-                (noise, init_img, ce, ue))
-            z = sample_fn(dp_s.params, noise_s, img_s, ce_s, ue_s, k_samp)[:true_b]
+        if init_lat is not None:
+            (noise_s, z0_s, ce_s, ue_s), true_b = dp_s.pad_shard(
+                (noise, init_lat, ce, ue))
+            z = sample_fn(dp_s.params, noise_s, z0_s, ce_s, ue_s, k_samp)[:true_b]
         else:
             (noise_s, ce_s, ue_s), true_b = dp_s.pad_shard((noise, ce, ue))
             z = sample_fn(dp_s.params, noise_s, ce_s, ue_s, k_samp)[:true_b]

@@ -4,8 +4,11 @@ class TestMaskGuidanceDDIMCFG:
     """Latent-inpainting CFG composition (MaskGuidance x DDIMCFG MRO)."""
 
     def _model(self):
+        # per-SAMPLE embed dependence: in the 2B batched CFG call the cond
+        # and uncond halves must produce DIFFERENT outputs, otherwise the
+        # guided combine degenerates and a broken CFG path would still pass
         return lambda x, t, text_embed=None, **kw: (
-            0.1 * x + 0.001 * text_embed.mean())
+            0.1 * x + 0.05 * text_embed.mean(axis=(1, 2))[:, None, None, None])
 
     def _sample(self, d, key=0):
         import jax
