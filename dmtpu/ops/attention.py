@@ -99,17 +99,24 @@ def _should_use_flash(b: int, sq: int, sk: int, h: int, d: int,
     )
 
 
-def _use_small_d(sq: int, sk: int, d: int) -> bool:
+def _use_small_d(sq: int, sk: int, d: int, prefer_flash: bool = False) -> bool:
     """Small-d routing gate (round 4): the fused flash_small_d kernel replaces
-    the stock kernels at SD's d=40/80 self-attention shapes.  The env opt-in
-    sits ABOVE the pad_wasteful heuristic in ``flash_mha`` so the A/B covers
-    the sampling path too (where XLA one-shot beats stock flash — the open
-    question is whether the fused kernel beats XLA).  Opt-in via
-    DMTPU_SMALL_D=1 until chip-measured faster, then the default flips
-    (see docs/ROADMAP.md round-4 attention table)."""
+    the stock kernels at SD's d=40/80 self-attention shapes.
+
+    Chip-measured on v5e (docs/ROADMAP.md round-4 attention table):
+    - TRAINING (differentiated, ``prefer_flash=True``): the fused
+      single-kernel backward wins big — SD1.5 512² b16 train 27.4 img/s vs
+      19.6 with the stock flash kernels (+40%) — so it is the DEFAULT.
+    - SAMPLING (forward-only): the XLA one-shot path still wins (2.76 vs
+      2.37 samples/s headline A/B) — default stays XLA.
+    DMTPU_SMALL_D=1 forces the kernel everywhere and =0 disables it
+    everywhere, keeping the single-env A/B for both paths."""
     import os
 
-    if d >= 128 or os.environ.get("DMTPU_SMALL_D", "0") != "1":
+    if d >= 128:
+        return False
+    env = os.environ.get("DMTPU_SMALL_D", "")
+    if env == "0" or (env != "1" and not prefer_flash):
         return False
     try:
         # after the env short-circuit: flash_small_d imports pallas TPU
@@ -138,7 +145,7 @@ def flash_mha(
     sk = k.shape[1]
     fa = _pallas_flash()
 
-    use_small_d = _use_small_d(sq, sk, d)
+    use_small_d = _use_small_d(sq, sk, d, prefer_flash)
     if fa is None or not (
             use_small_d or _should_use_flash(b, sq, sk, h, d, prefer_flash)):
         return mha(q, k, v, scale=scale)

@@ -173,21 +173,26 @@ def test_flash_mha_differentiable():
     jax.jit(jax.grad(loss)).lower(q)  # traces fwd+bwd on both platforms
 
 
-def test_small_d_gate_covers_sampling_path(monkeypatch):
-    """DMTPU_SMALL_D=1 must route SD self-attention shapes to the fused
-    kernel in SAMPLING graphs too (above the pad_wasteful XLA heuristic),
-    so the headline metric can be A/B'd by env alone; cross-attention and
-    unaligned shapes stay out regardless."""
+def test_small_d_gate_defaults(monkeypatch):
+    """Round-4 measured dispatch (see _use_small_d docstring): the fused
+    small-d kernel is the DEFAULT in training graphs (prefer_flash=True,
+    +40% chip-measured) and off in sampling graphs (XLA one-shot wins);
+    DMTPU_SMALL_D=1/0 force-overrides both ways for single-env A/Bs.
+    Cross-attention and unaligned shapes stay out regardless."""
     from dmtpu.ops.attention import _use_small_d
 
     monkeypatch.delenv("DMTPU_SMALL_D", raising=False)
-    assert not _use_small_d(4096, 4096, 40)          # default: off
+    assert not _use_small_d(4096, 4096, 40)                    # sampling: off
+    assert _use_small_d(4096, 4096, 40, prefer_flash=True)     # training: ON
+    assert _use_small_d(1024, 1024, 80, prefer_flash=True)     # SD1.5 level-1
     monkeypatch.setenv("DMTPU_SMALL_D", "1")
-    assert _use_small_d(4096, 4096, 40)              # SD1.5 level-0 self-attn
+    assert _use_small_d(4096, 4096, 40)              # forced on in sampling
     assert _use_small_d(1024, 1024, 80)              # SD1.5 level-1
     assert not _use_small_d(4096, 77, 40)            # cross-attention
     assert not _use_small_d(1000, 1000, 40)          # unaligned S
     assert not _use_small_d(4096, 4096, 160)         # d > 128
+    monkeypatch.setenv("DMTPU_SMALL_D", "0")
+    assert not _use_small_d(4096, 4096, 40, prefer_flash=True)  # forced off
 
 
 def test_small_d_opt_in_lowers_in_sampling_graph(monkeypatch):
