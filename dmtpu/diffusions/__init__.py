@@ -10,6 +10,7 @@ from dmtpu.diffusions.euler import EulerSampler
 from dmtpu.diffusions.heun import HeunSampler
 from dmtpu.diffusions.dpm_solver import DPMSolverPP, DPMSolverPPCFG
 from dmtpu.diffusions.pfdiff import PFDiffDDIM, PFDiffDDIMCFG
+from dmtpu.diffusions.flow import FlowMatching, FlowMatchingCFG
 
 __all__ = [
     "get_beta_schedule",
@@ -25,4 +26,6 @@ __all__ = [
     "DPMSolverPPCFG",
     "PFDiffDDIM",
     "PFDiffDDIMCFG",
+    "FlowMatching",
+    "FlowMatchingCFG",
 ]

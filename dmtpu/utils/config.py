@@ -91,9 +91,11 @@ _REGISTRY: Dict[str, str] = {
     "diffusions.ddpm_ip.DDPM_IP": "dmtpu.diffusions.ddpm_ip.DDPM_IP",
     "diffusions.euler.EulerSampler": "dmtpu.diffusions.euler.EulerSampler",
     "diffusions.heun.HeunSampler": "dmtpu.diffusions.heun.HeunSampler",
-    # beyond-parity: DPM-Solver++(2M) has no reference counterpart
+    # beyond-parity: DPM-Solver++(2M) / flow matching have no reference counterpart
     "diffusions.dpm_solver.DPMSolverPP": "dmtpu.diffusions.dpm_solver.DPMSolverPP",
     "diffusions.dpm_solver.DPMSolverPPCFG": "dmtpu.diffusions.dpm_solver.DPMSolverPPCFG",
+    "diffusions.flow.FlowMatching": "dmtpu.diffusions.flow.FlowMatching",
+    "diffusions.flow.FlowMatchingCFG": "dmtpu.diffusions.flow.FlowMatchingCFG",
     "diffusions.guidance.base.BaseGuidance": "dmtpu.diffusions.guidance.base.BaseGuidance",
     "diffusions.guidance.mask_guidance.MaskGuidance": "dmtpu.diffusions.guidance.mask_guidance.MaskGuidance",
     "diffusions.guidance.ilvr.ILVR": "dmtpu.diffusions.guidance.ilvr.ILVR",

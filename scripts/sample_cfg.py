@@ -21,7 +21,8 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from dmtpu.diffusions import DDIMCFG, DDPMCFG, DPMSolverPPCFG, PFDiffDDIMCFG  # noqa: E402
+from dmtpu.diffusions import (  # noqa: E402
+    DDIMCFG, DDPMCFG, DPMSolverPPCFG, FlowMatchingCFG, PFDiffDDIMCFG)
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
@@ -30,7 +31,8 @@ from dmtpu.utils.misc import amortize  # noqa: E402
 
 def main():
     p = base_parser()
-    p.add_argument("--sampler", type=str, choices=["ddpm", "ddim", "dpmpp", "pfdiff"],
+    p.add_argument("--sampler", type=str,
+                   choices=["ddpm", "ddim", "dpmpp", "pfdiff", "flow"],
                    default="ddpm")
     p.add_argument("--guidance_scale", type=float, required=True,
                    help="s=0: uncond; s=1: plain conditional; s>1: guided")
@@ -68,6 +70,8 @@ def main():
         diffuser = DPMSolverPPCFG(**diffusion_params(args, conf, **extra))
     elif args.sampler == "pfdiff":
         diffuser = PFDiffDDIMCFG(**diffusion_params(args, conf, **extra))
+    elif args.sampler == "flow":
+        diffuser = FlowMatchingCFG(**diffusion_params(args, conf, **extra))
     else:
         diffuser = DDPMCFG(**diffusion_params(args, conf, **extra))
 

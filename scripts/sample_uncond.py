@@ -31,6 +31,7 @@ from dmtpu.diffusions import (  # noqa: E402
     DDPM,
     DPMSolverPP,
     EulerSampler,
+    FlowMatching,
     HeunSampler,
     PFDiffDDIM,
 )
@@ -57,6 +58,9 @@ COMPATIBLE_SAMPLER_MODE = dict(
     # modes does not apply.
     dpmpp=["sample", "denoise", "progressive", "interpolate"],
     pfdiff=["sample", "interpolate"],
+    # flow matching (beyond parity): deterministic ODE — all five modes,
+    # reconstruction via exact-tape ODE inversion
+    flow=["sample", "denoise", "progressive", "interpolate", "reconstruction"],
 )
 
 
@@ -67,6 +71,9 @@ def get_parser():
     p.add_argument("--sampler", type=str, choices=list(COMPATIBLE_SAMPLER_MODE), default="ddpm")
     p.add_argument("--var_type", type=str, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0)
+    p.add_argument("--flow_solver", type=str, choices=["euler", "heun"], default="euler")
+    p.add_argument("--time_shift", type=float, default=None,
+                   help="SD3-style flow time shift (flow sampler only)")
     p.add_argument("--mode", type=str, default="sample",
                    choices=["sample", "denoise", "progressive", "interpolate", "reconstruction"])
     p.add_argument("--n_denoise", type=int, default=20)
@@ -82,8 +89,12 @@ def build_diffuser(args, conf):
         extra["var_type"] = args.var_type
     if args.sampler == "ddim":
         extra["eta"] = args.ddim_eta
+    if args.sampler == "flow":
+        extra["solver"] = args.flow_solver
+        if args.time_shift is not None:
+            extra["time_shift"] = args.time_shift
     cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-           "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}[args.sampler]
+           "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}[args.sampler]
     return cls(**diffusion_params(args, conf, **extra))
 
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dmtpu.diffusions import (
-    DDIM, DDPM, DPMSolverPP, EulerSampler, HeunSampler, PFDiffDDIM)
+    DDIM, DDPM, DPMSolverPP, EulerSampler, FlowMatching, HeunSampler, PFDiffDDIM)
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import make_grid, to_pil
 
@@ -25,7 +25,7 @@ WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
 # optional: directory scanned into a Model dropdown (reference :141-148)
 WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}
+            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}
 
 
 @st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)

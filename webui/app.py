@@ -36,12 +36,12 @@ import numpy as np  # noqa: E402
 
 from dmtpu.diffusions import (  # noqa: E402
     DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, DPMSolverPPCFG, EulerSampler,
-    HeunSampler, PFDiffDDIM, PFDiffDDIMCFG)
+    FlowMatching, FlowMatchingCFG, HeunSampler, PFDiffDDIM, PFDiffDDIMCFG)
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.image import make_grid, to_pil  # noqa: E402
 
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM}
+            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}
 
 PAGE = """<!doctype html>
 <html><head><title>dmtpu sampler</title><style>
@@ -100,7 +100,7 @@ class App:
         if key not in self._cache:
             if y >= 0 and self.cond:
                 cls = {"ddim": DDIMCFG, "dpmpp": DPMSolverPPCFG,
-                       "pfdiff": PFDiffDDIMCFG}.get(sampler, DDPMCFG)
+                       "pfdiff": PFDiffDDIMCFG, "flow": FlowMatchingCFG}.get(sampler, DDPMCFG)
                 diffuser = cls(guidance_scale=gs, **dp)
 
                 def fn(p, noise, k, yy):
