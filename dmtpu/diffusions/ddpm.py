@@ -384,6 +384,47 @@ class DDPM:
         return final
 
 
+def cfg_double_merge(
+    x: Array,
+    model_kwargs: Dict[str, Any],
+    cond_kwarg: str,
+    uncond_key: str,
+) -> Tuple[Array, Dict[str, Any]]:
+    """(x2, merged kwargs) for the ONE 2B-batched CFG call: [cond | uncond].
+
+    Shared by every CFG sampler (DDPM/DDIM/DPM-Solver++/PFDiff via
+    ``DDPMCFG._cfg_model_output`` and the flow-matching family) so the
+    batch-merge heuristic lives in exactly one place.  Other ``model_kwargs``
+    are carried onto the doubled batch by a HEURISTIC: any array leaf with
+    ``shape[0] == B`` is treated as per-sample and tiled to 2B — see the
+    ``DDPMCFG`` docstring for the mis-tiling caveat and workarounds.
+
+    Raises if the conditional kwarg or the threaded ``uncond_key`` entry is
+    missing — both are required for guidance.
+    """
+    if cond_kwarg not in model_kwargs:
+        raise ValueError(f"Condition argument `{cond_kwarg}` not found in model_kwargs.")
+    uncond = model_kwargs.get(uncond_key)
+    if uncond is None:
+        raise ValueError(
+            "CFG sampling requires `uncond_conditioning` (a null class "
+            "index / empty-prompt embedding pytree matching the "
+            f"conditional `{cond_kwarg}`); got None.")
+    b = x.shape[0]
+    x2 = jnp.concatenate([x, x], axis=0)
+
+    def _double(v):
+        return jax.tree.map(
+            lambda a: jnp.concatenate([a, a], axis=0)
+            if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b else a, v)
+
+    merged = {k: _double(v) for k, v in model_kwargs.items() if k != uncond_key}
+    merged[cond_kwarg] = jax.tree.map(
+        lambda cc, uu: jnp.concatenate([cc, uu], axis=0),
+        model_kwargs[cond_kwarg], uncond)
+    return x2, merged
+
+
 class DDPMCFG(DDPM):
     """DDPM with classifier-free guidance.
 
@@ -441,32 +482,9 @@ class DDPMCFG(DDPM):
         model_kwargs: Dict[str, Any],
     ) -> Tuple[Array, Array]:
         """Returns (combined pred_eps, cond model output) for one step."""
-        if self.cond_kwarg not in model_kwargs:
-            raise ValueError(f"Condition argument `{self.cond_kwarg}` not found in model_kwargs.")
-        cond = model_kwargs[self.cond_kwarg]
-        uncond = model_kwargs.get(self._UNCOND_KEY)
-        if uncond is None:
-            raise ValueError(
-                "CFG sampling requires `uncond_conditioning` (a null class "
-                "index / empty-prompt embedding pytree matching the "
-                f"conditional `{self.cond_kwarg}`); got None.")
-        b = xt.shape[0]
-        x2 = jnp.concatenate([xt, xt], axis=0)
-        t2 = jnp.full((2 * b,), c["t"], dtype=jnp.int32)
-
-        def _double(v):
-            # any OTHER per-sample conditioning must follow the doubled batch
-            # (the reference's two separate B-sized calls keep kwargs
-            # consistent implicitly; the single 2B-batched call must tile)
-            return jax.tree.map(
-                lambda a: jnp.concatenate([a, a], axis=0)
-                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b else a, v)
-
-        merged = {k: _double(v) for k, v in model_kwargs.items()
-                  if k != self._UNCOND_KEY}
-        merged[self.cond_kwarg] = jax.tree.map(
-            lambda cc, uu: jnp.concatenate([cc, uu], axis=0), cond, uncond
-        )
+        x2, merged = cfg_double_merge(
+            xt, model_kwargs, self.cond_kwarg, self._UNCOND_KEY)
+        t2 = jnp.full((x2.shape[0],), c["t"], dtype=jnp.int32)
         out2 = model_fn(x2, t2, **merged)
         out_cond, out_uncond = jnp.split(out2, 2, axis=0)
         eps_cond = self.predict(out_cond, xt, c)["pred_eps"]

@@ -42,6 +42,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dmtpu.diffusions.ddpm import cfg_double_merge
+
 Array = jax.Array
 ModelFn = Callable[..., Array]
 
@@ -66,6 +68,15 @@ class FlowMatching:
             (training draws ``t in [0, total_steps)``; sampling feeds
             ``u * total_steps``).  1000 matches the DDPM zoo convention.
         respace_steps: number of ODE integration steps S for sampling.
+        respace_type: step-grid spacing.  ``quad`` is the continuous
+            analogue of DDPM quad respacing (grid = linspace**2, denser near
+            the data end u=0); the discrete offset variants
+            ``uniform``/``uniform-leading``/``uniform-trailing``/``uniform2``
+            and ``linspace`` all coincide with the exact-endpoint uniform
+            grid in continuous time (they only differ by integer index
+            offsets in the DDPM-family samplers), so they are accepted and
+            mapped to it rather than silently swallowed; anything else
+            raises.
         solver: ``"euler"`` (S model calls) or ``"heun"`` (2S calls,
             second-order trapezoid).
         time_shift: SD3 resolution shift (1.0 = plain rectified flow).
@@ -74,10 +85,14 @@ class FlowMatching:
             flows are usually latent-space).
     """
 
+    _UNIFORM_TYPES = ("uniform", "uniform-leading", "uniform-trailing",
+                      "uniform2", "linspace")
+
     def __init__(
         self,
         total_steps: int = 1000,
         respace_steps: int = 50,
+        respace_type: str = "uniform",
         solver: str = "euler",
         time_shift: float = 1.0,
         clip_denoised: bool = False,
@@ -87,8 +102,14 @@ class FlowMatching:
             raise ValueError(f"Invalid solver: {solver}")
         if time_shift <= 0:
             raise ValueError(f"time_shift must be > 0, got {time_shift}")
+        respace_type = respace_type or "uniform"
+        if respace_type not in self._UNIFORM_TYPES + ("quad",):
+            raise ValueError(
+                f"Invalid respace_type for flow matching: {respace_type!r} "
+                f"(supported: {self._UNIFORM_TYPES + ('quad',)})")
         self.total_steps = int(total_steps)
         self.respace_steps = int(respace_steps)
+        self.respace_type = respace_type
         self.solver = solver
         self.time_shift = float(time_shift)
         self.clip_denoised = bool(clip_denoised)
@@ -102,12 +123,19 @@ class FlowMatching:
         return _shift_u(u, self.time_shift)
 
     def diffuse(self, x0: Array, t: Array, eps: Array) -> Array:
-        """x_u = (1-u) x0 + u eps at the (shifted) time of integer ``t``.
+        """x_u = (1-u) x0 + u eps at MODEL time ``t`` (shifted-u * total_steps).
 
         Same signature as ``DDPM.diffuse`` so SDEdit-style script code
-        (reference: scripts/sample_sdedit.py:141-157) works on flows.
+        (reference: scripts/sample_sdedit.py:141-157) works on flows:
+        ``t`` is on the model-conditioning scale — exactly what
+        ``respaced_seq`` rows hold, which already have ``time_shift`` baked
+        in — so ``diffuse(img, respaced_seq[k])`` followed by
+        ``sample(start_step=row)`` lands on the tape's noise level for ANY
+        shift.  (Re-applying ``_shift_u`` here, as ``loss_func`` does to its
+        RAW uniform draw, would double-shift.)  At time_shift=1 the two
+        scales coincide.
         """
-        u = _bcast(self._u_of_t(t), x0.ndim)
+        u = _bcast(jnp.asarray(t, jnp.float32) / float(self.total_steps), x0.ndim)
         return (1.0 - u) * x0 + u * eps
 
     def loss_func(
@@ -155,6 +183,10 @@ class FlowMatching:
         """
         s = self.respace_steps
         grid = np.linspace(1.0, 0.0, s + 1, dtype=np.float64)
+        if self.respace_type == "quad":
+            # denser steps near the data end (u -> 0), the continuous
+            # analogue of DDPM quad respacing; endpoints stay exact
+            grid = grid ** 2
         grid = _shift_u(grid, self.time_shift)
         return {
             "u": grid[:-1].astype(np.float32),
@@ -164,6 +196,17 @@ class FlowMatching:
     # ------------------------------------------------------------------
     # one ODE step (pure)
     # ------------------------------------------------------------------
+    def _raw_velocity(
+        self,
+        model_fn: ModelFn,
+        x: Array,
+        u: Array,
+        model_kwargs: Dict[str, Any],
+    ) -> Array:
+        """One model call (the CFG subclass overrides ONLY this)."""
+        t_batch = jnp.full((x.shape[0],), u * float(self.total_steps), jnp.float32)
+        return model_fn(x, t_batch, **model_kwargs).astype(jnp.float32)
+
     def _velocity(
         self,
         model_fn: ModelFn,
@@ -171,8 +214,7 @@ class FlowMatching:
         u: Array,
         model_kwargs: Dict[str, Any],
     ) -> Array:
-        t_batch = jnp.full((x.shape[0],), u * float(self.total_steps), jnp.float32)
-        v = model_fn(x, t_batch, **model_kwargs).astype(jnp.float32)
+        v = self._raw_velocity(model_fn, x, u, model_kwargs)
         if self.clip_denoised:
             # clip the implied x0 and re-derive v; at u=0 the division is
             # degenerate so the raw v passes through
@@ -284,38 +326,16 @@ class FlowMatchingCFG(FlowMatching):
         self.guidance_scale = float(guidance_scale)
         self.cond_kwarg = cond_kwarg
 
-    def _velocity(self, model_fn, x, u, model_kwargs):
-        if self.cond_kwarg not in model_kwargs:
-            raise ValueError(
-                f"Condition argument `{self.cond_kwarg}` not found in model_kwargs.")
-        uncond = model_kwargs.get(self._UNCOND_KEY)
-        if uncond is None:
-            raise ValueError(
-                "CFG sampling requires `uncond_conditioning` matching the "
-                f"conditional `{self.cond_kwarg}`; got None.")
-        b = x.shape[0]
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.full((2 * b,), u * float(self.total_steps), jnp.float32)
-
-        def _double(val):
-            return jax.tree.map(
-                lambda a: jnp.concatenate([a, a], axis=0)
-                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == b else a, val)
-
-        merged = {k: _double(v) for k, v in model_kwargs.items()
-                  if k != self._UNCOND_KEY}
-        merged[self.cond_kwarg] = jax.tree.map(
-            lambda cc, uu: jnp.concatenate([cc, uu], axis=0),
-            model_kwargs[self.cond_kwarg], uncond)
+    def _raw_velocity(self, model_fn, x, u, model_kwargs):
+        """ONE 2B-batched call, [cond | uncond]; the shared ``_velocity``
+        clip hook applies to the guided combination."""
+        x2, merged = cfg_double_merge(
+            x, model_kwargs, self.cond_kwarg, self._UNCOND_KEY)
+        t2 = jnp.full((x2.shape[0],), u * float(self.total_steps), jnp.float32)
         v2 = model_fn(x2, t2, **merged).astype(jnp.float32)
         v_cond, v_uncond = jnp.split(v2, 2, axis=0)
         s = self.guidance_scale
-        v = (1.0 - s) * v_uncond + s * v_cond
-        if self.clip_denoised:
-            safe_u = jnp.maximum(u, 1e-6)
-            x0 = jnp.clip(x - u * v, -1.0, 1.0)
-            v = jnp.where(u > 0, (x - x0) / safe_u, v)
-        return v
+        return (1.0 - s) * v_uncond + s * v_cond
 
     def sample_loop(self, model_fn, init_noise, rng=None,
                     uncond_conditioning: Any = None,
@@ -330,3 +350,13 @@ class FlowMatchingCFG(FlowMatching):
         final, _ = self.sample_loop(model_fn, init_noise, rng,
                                     uncond_conditioning, model_kwargs, **kwargs)
         return final
+
+    def sample_inversion(self, model_fn, img,
+                         uncond_conditioning: Any = None,
+                         model_kwargs: Optional[Dict[str, Any]] = None) -> Array:
+        """Guided data -> noise: threads ``uncond_conditioning`` like
+        ``sample`` so CFG ODE inversion is reachable (the flow analogue of
+        ``DDIMCFG``'s guided inversion, dmtpu/diffusions/ddim.py)."""
+        mk = dict(model_kwargs or {})
+        mk[self._UNCOND_KEY] = uncond_conditioning
+        return super().sample_inversion(model_fn, img, mk)

@@ -71,7 +71,9 @@ def get_parser():
     p.add_argument("--sampler", type=str, choices=list(COMPATIBLE_SAMPLER_MODE), default="ddpm")
     p.add_argument("--var_type", type=str, default=None)
     p.add_argument("--ddim_eta", type=float, default=0.0)
-    p.add_argument("--flow_solver", type=str, choices=["euler", "heun"], default="euler")
+    # default=None so an absent flag defers to the config's `solver` (like
+    # --time_shift below) instead of clobbering it with "euler"
+    p.add_argument("--flow_solver", type=str, choices=["euler", "heun"], default=None)
     p.add_argument("--time_shift", type=float, default=None,
                    help="SD3-style flow time shift (flow sampler only)")
     p.add_argument("--mode", type=str, default="sample",
@@ -90,7 +92,8 @@ def build_diffuser(args, conf):
     if args.sampler == "ddim":
         extra["eta"] = args.ddim_eta
     if args.sampler == "flow":
-        extra["solver"] = args.flow_solver
+        if args.flow_solver is not None:
+            extra["solver"] = args.flow_solver
         if args.time_shift is not None:
             extra["time_shift"] = args.time_shift
     cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,

@@ -246,6 +246,89 @@ def test_cfg_missing_cond_errors(x_init):
                    model_kwargs={"y": jnp.zeros((4,), jnp.int32)})
 
 
+def test_cfg_guided_inversion_roundtrip(x_init):
+    """FlowMatchingCFG.sample_inversion threads uncond_conditioning (review
+    fix): at s=1 the guided inversion equals the plain conditional one, and
+    invert(sample(z)) round-trips."""
+    model = _gaussian_velocity(0.8)
+
+    def cond_model(x, t, y=None, **kw):
+        return model(x, t)
+
+    b = x_init.shape[0]
+    y = jnp.zeros((b,), jnp.int32)
+    null = jnp.ones((b,), jnp.int32)
+    cfg = FlowMatchingCFG(guidance_scale=1.0, respace_steps=200, solver="heun")
+    img = cfg.sample(cond_model, x_init, None, uncond_conditioning=null,
+                     model_kwargs={"y": y})
+    z_rec = cfg.sample_inversion(cond_model, img, uncond_conditioning=null,
+                                 model_kwargs={"y": y})
+    np.testing.assert_allclose(np.asarray(z_rec), np.asarray(x_init),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_diffuse_matches_tape_under_time_shift(x_init):
+    """SDEdit-style composition (review fix): diffuse(img, respaced_seq[k])
+    must land exactly on the tape's noise level u for ANY time_shift —
+    re-shifting the already-shifted respaced_seq would double-shift."""
+    fm = FlowMatching(total_steps=1000, respace_steps=8, time_shift=3.0)
+    tape = fm.sampler_tape()
+    seq = fm.respaced_seq  # ascending model timesteps, shift baked in
+    eps = jnp.asarray(np.random.RandomState(6).randn(*x_init.shape), jnp.float32)
+    for row in (0, 3, 7):
+        # tape row `row` (descending u) corresponds to seq[-1 - row]
+        t_edit = jnp.full((x_init.shape[0],), seq[-1 - row], jnp.float32)
+        got = fm.diffuse(x_init, t_edit, eps)
+        u = float(tape["u"][row])
+        want = (1.0 - u) * x_init + u * eps
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_respace_type_quad_and_validation():
+    """`quad` densifies the grid near u=0 (review fix: respace_type was a
+    silent no-op); the discrete uniform offset variants map to the same
+    exact-endpoint grid; unknown types raise at construction."""
+    uni = FlowMatching(respace_steps=8).sampler_tape()
+    quad = FlowMatching(respace_steps=8, respace_type="quad").sampler_tape()
+    assert quad["u"][0] == 1.0 and quad["u_next"][-1] == 0.0
+    assert not np.allclose(uni["u"], quad["u"])
+    # quad steps shrink toward the data end: |du| decreasing
+    du = np.abs(np.diff(np.concatenate([quad["u"][:1], quad["u_next"]])))
+    assert np.all(np.diff(du) < 0)
+    for rt in ("uniform-leading", "uniform-trailing", "uniform2", "linspace"):
+        np.testing.assert_array_equal(
+            FlowMatching(respace_steps=8, respace_type=rt).sampler_tape()["u"],
+            uni["u"])
+    with pytest.raises(ValueError, match="respace_type"):
+        FlowMatching(respace_type="exponential")
+
+
+def test_cli_flow_solver_defers_to_config():
+    """--flow_solver default must NOT clobber a config's solver (review
+    fix); an explicit flag still wins."""
+    import importlib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(repo, "scripts") not in sys.path:
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+    sample_uncond = importlib.import_module("sample_uncond")
+    from dmtpu.utils.config import Config
+
+    parser = sample_uncond.get_parser()
+    conf = Config({"diffusion": {"params": {"solver": "heun", "respace_steps": 5}}})
+    args = parser.parse_args(
+        ["-c", "x.yaml", "--n_samples", "1", "--weights", "w", "--save_dir", "s",
+         "--sampler", "flow"])
+    assert sample_uncond.build_diffuser(args, conf).solver == "heun"
+    args2 = parser.parse_args(
+        ["-c", "x.yaml", "--n_samples", "1", "--weights", "w", "--save_dir", "s",
+         "--sampler", "flow", "--flow_solver", "euler"])
+    assert sample_uncond.build_diffuser(args2, conf).solver == "euler"
+
+
 # ---------------------------------------------------------------------------
 # train-step seam
 # ---------------------------------------------------------------------------

@@ -79,6 +79,11 @@ def test_webui_uncond_sample_roundtrip(app_mod, tmp_path):
         # beyond-parity low-NFE sampler over the same grid
         status, body = _get(port, "/sample?sampler=pfdiff&steps=4&n=2&seed=1")
         assert status == 200 and "data:image/png;base64," in body, body[:500]
+        # flow-matching ODE sampler; also reachable from the form's dropdown
+        status, body = _get(port, "/sample?sampler=flow&steps=4&n=2&seed=1")
+        assert status == 200 and "data:image/png;base64," in body, body[:500]
+        status, body = _get(port, "/")
+        assert "<option>flow</option>" in body
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404

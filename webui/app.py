@@ -52,7 +52,7 @@ img{{image-rendering:pixelated;border:1px solid #ccc;margin-top:1em}}
 <h2>dmtpu — TPU-native diffusion sampler</h2>
 <form action="/sample" method="get">
 <p><label>Sampler</label><select name="sampler">
-<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option><option>pfdiff</option>
+<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option><option>pfdiff</option><option>flow</option>
 </select></p>
 <p><label>Steps</label><input name="steps" type="number" value="50"></p>
 <p><label>Variance</label><select name="var_type">
