@@ -56,6 +56,37 @@ class CaptionedImageDir:
         return {"image": self.transform(img), "caption": self._caption(self.img_paths[i])}
 
 
+class SyntheticEmbedded:
+    """Deterministic images + PRECOMPUTED text-embedding pytrees — the
+    cached-embedding text-to-image workflow (embed the captions once, train
+    MMDiT/SD on ``{"image", "context", "pooled"}`` with no text tower in the
+    step).  Items collate into the flat dict the train step shards.
+
+    Images and embeddings are correlated per pseudo-class (index % n_classes)
+    so conditioning is actually learnable in smoke tests.
+    """
+
+    def __init__(self, img_size: int = 32, channels: int = 3, n: int = 256,
+                 context_len: int = 8, context_dim: int = 64,
+                 pooled_dim: int = 32, n_classes: int = 4, seed: int = 0, **_):
+        rng = np.random.RandomState(seed)
+        cls = np.arange(n) % n_classes
+        base = rng.uniform(-1, 1, (n_classes, img_size, img_size, channels))
+        noise = 0.1 * rng.randn(n, img_size, img_size, channels)
+        self.images = np.clip(base[cls] + noise, -1, 1).astype(np.float32)
+        ctx_table = rng.randn(n_classes, context_len, context_dim)
+        pool_table = rng.randn(n_classes, pooled_dim)
+        self.contexts = ctx_table[cls].astype(np.float32)
+        self.pooled = pool_table[cls].astype(np.float32)
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int):
+        return {"image": self.images[i], "context": self.contexts[i],
+                "pooled": self.pooled[i]}
+
+
 class SyntheticCaptioned:
     """Deterministic random images + template captions (tests/benchmarks —
     no disk IO, no egress)."""

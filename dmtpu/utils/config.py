@@ -109,6 +109,8 @@ _REGISTRY: Dict[str, str] = {
     "models.adm.unet_combined.UNetCombined": "dmtpu.models.adm.UNetCombined",
     "models.dit.dit.DiT": "dmtpu.models.latent.LatentDiffusionWrapper",
     "models.dit.model.DiT": "dmtpu.models.dit.DiT",
+    # beyond-parity: SD3-class MMDiT pairs with the flow-matching family
+    "models.mmdit.MMDiT": "dmtpu.models.mmdit.MMDiT",
     "models.dit.autoencoder.AutoEncoderKL": "dmtpu.models.latent.PretrainedVAE",
     "models.mdt.mdt.MDT": "dmtpu.models.latent.LatentDiffusionWrapper",
     "models.mdt.model.MDTv2": "dmtpu.models.mdt.MDTv2",
