@@ -175,14 +175,13 @@ class MMDiT(nn.Module):
         self.final = FinalLayer(p, self.in_channels, dtype=self.dtype,
                                 name="final_layer")
 
-    @staticmethod
-    def null_conditioning(batch: int, context_len: int,
-                          context_dim: int = 4096, pooled_dim: int = 2048,
+    def null_conditioning(self, batch: int, context_len: int,
                           dtype: Any = jnp.float32) -> Dict[str, Array]:
         """The all-zeros conditioning pytree — the SAME null the training
-        dropout produces, for uncond sampling / CFG ``uncond_conditioning``."""
-        return {"context": jnp.zeros((batch, context_len, context_dim), dtype),
-                "pooled": jnp.zeros((batch, pooled_dim), dtype)}
+        dropout produces, for uncond sampling / CFG ``uncond_conditioning``.
+        Widths come from THIS model's ``context_dim``/``pooled_dim``."""
+        return {"context": jnp.zeros((batch, context_len, self.context_dim), dtype),
+                "pooled": jnp.zeros((batch, self.pooled_dim), dtype)}
 
     def _condition(self, t: Array, y: Dict[str, Array], b: int, *,
                    train: bool, force_drop_rng: Optional[Array]
@@ -206,8 +205,16 @@ class MMDiT(nn.Module):
         if y is None:
             raise ValueError(
                 "MMDiT needs y={'context': [B,L,Dc], 'pooled': [B,Dp]}; for "
-                "the unconditional branch pass MMDiT.null_conditioning(...) "
+                "the unconditional branch pass model.null_conditioning(...) "
                 "(static context length required under jit)")
+        # loud config-vs-data width check (Dense would otherwise fail deep
+        # inside with an opaque kernel-shape error)
+        if y["context"].shape[-1] != self.context_dim or \
+                y["pooled"].shape[-1] != self.pooled_dim:
+            raise ValueError(
+                f"conditioning widths {y['context'].shape[-1]}/"
+                f"{y['pooled'].shape[-1]} do not match the model's "
+                f"context_dim={self.context_dim}/pooled_dim={self.pooled_dim}")
         b = x.shape[0]
         p = self.patch_size
         grid = self.input_size // p

@@ -29,6 +29,18 @@ def base_parser() -> argparse.ArgumentParser:
     return p
 
 
+def train_dotlist(unknown):
+    """Dotlist from a trainer's unknown args (shared by all train_*.py).
+
+    Accepts ``--key=value``/``key=value``, or ``key value`` pairs (the
+    trainers' historical form).
+    """
+    unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
+    if all("=" in a for a in unknown):
+        return unknown
+    return [f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])]
+
+
 def load_conf(args, unknown):
     """Merge dotlist overrides over the config file.
 

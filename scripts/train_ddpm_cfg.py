@@ -55,12 +55,8 @@ def main():
     args.time_str = get_time_str()
     if args.exp_dir is None:
         args.exp_dir = os.path.join("runs", f"exp-{args.time_str}")
-    unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
-    if all("=" in a for a in unknown):
-        dotlist = unknown
-    else:
-        dotlist = [f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])]
-    conf = merge_dotlist(load_config(args.config), dotlist)
+    from _common import train_dotlist
+    conf = merge_dotlist(load_config(args.config), train_dotlist(unknown))
 
     is_main = jax.process_index() == 0
     exp_dir = args.exp_dir

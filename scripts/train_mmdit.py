@@ -68,10 +68,8 @@ def main():
     args.time_str = get_time_str()
     if args.exp_dir is None:
         args.exp_dir = os.path.join("runs", f"exp-{args.time_str}")
-    unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
-    dotlist = unknown if all("=" in a for a in unknown) else [
-        f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])]
-    conf = merge_dotlist(load_config(args.config), dotlist)
+    from _common import train_dotlist
+    conf = merge_dotlist(load_config(args.config), train_dotlist(unknown))
 
     is_main = jax.process_index() == 0
     exp_dir = args.exp_dir
@@ -159,11 +157,18 @@ def main():
                                  micro_batches=micro_batches, mesh=mesh)
 
     # eval sampling: CFG flow sampling of the first n_samples items'
-    # conditioning against the all-zeros null (same null as the dropout)
+    # conditioning against the all-zeros null (same null as the dropout).
+    # The config's diffusion target may itself be FlowMatchingCFG (the
+    # isinstance gate above allows subclasses) — strip its CFG-specific keys
+    # so they don't collide with the explicit ones here.
     n_samples = conf.train.n_samples
-    gs = float(conf.train.get("sample_guidance_scale", 2.0))
-    sampler = FlowMatchingCFG(guidance_scale=gs, cond_kwarg="y",
-                              **dict(conf.diffusion.params))
+    diff_params = {k: v for k, v in dict(conf.diffusion.params).items()
+                   if k not in ("guidance_scale", "cond_kwarg",
+                                "guidance_interval")}
+    gs = float(conf.train.get(
+        "sample_guidance_scale",
+        conf.diffusion.params.get("guidance_scale", 2.0)))
+    sampler = FlowMatchingCFG(guidance_scale=gs, cond_kwarg="y", **diff_params)
     eval_y = {
         "context": jnp.asarray(np.stack(
             [train_set[i]["context"] for i in range(n_samples)])),
@@ -189,19 +194,25 @@ def main():
     gen = get_data_generator(loader)
     from dmtpu.utils.profiling import StepTimer
     timer = StepTimer()
+    pending = []
     while step < conf.train.n_steps:
         batch = shard_batch(
             jax.tree.map(lambda a: np.asarray(a, np.float32), next(gen)), mesh)
         rng = jax.random.fold_in(root_rng, step)
         state, metrics = train_step(state, batch, rng)
         timer.tick()
+        # buffer device scalars; fetching every step would serialise on host
+        # round-trips (same deferred-sync pattern as train_ddpm.py)
+        pending.append((step, metrics))
         if check_freq(conf.train.print_freq, step) or step + 1 == conf.train.n_steps:
-            tracker.track_status(
-                "Train",
-                {"loss": metrics["loss"], "grad_norm": metrics["grad_norm"],
-                 "lr": lr_at(step),
-                 "imgs_per_sec": timer.throughput(conf.train.batch_size)},
-                step)
+            for s_, m_ in pending:
+                tracker.track_status(
+                    "Train",
+                    {"loss": m_["loss"], "grad_norm": m_["grad_norm"],
+                     "lr": lr_at(s_),
+                     "imgs_per_sec": timer.throughput(conf.train.batch_size)},
+                    s_)
+            pending.clear()
         if check_freq(conf.train.save_freq, step):
             ckpt_lib.save_checkpoint(os.path.join(exp_dir, "ckpt"), step, state)
         if check_freq(conf.train.sample_freq, step):

@@ -156,7 +156,7 @@ def test_y_none_raises_and_null_conditioning():
     params = m.init(jax.random.PRNGKey(0), x, t, y)
     with pytest.raises(ValueError, match="null_conditioning"):
         m.apply(params, x, t, None)
-    null = MMDiT.null_conditioning(2, 5, context_dim=16, pooled_dim=12)
+    null = m.null_conditioning(2, 5)
     assert m.apply(params, x, t, null).shape == x.shape
 
 
@@ -169,9 +169,36 @@ def test_dropout_prob_one_equals_null():
     params = {"params": _randomized(params["params"], np.random.RandomState(1))}
     dropped = m.apply(params, x, t, y, train=True,
                       force_drop_rng=jax.random.PRNGKey(7))
-    null = MMDiT.null_conditioning(2, 5, context_dim=16, pooled_dim=12)
+    null = m.null_conditioning(2, 5)
     want = m.apply(params, x, t, null)
     np.testing.assert_allclose(np.asarray(dropped), np.asarray(want), atol=1e-6)
+
+
+def test_conditioning_width_mismatch_raises():
+    """Config-vs-data width mismatches fail loudly at the seam (review fix),
+    not deep inside a Dense kernel-shape error."""
+    m = tiny_mmdit()
+    x, t, y = tiny_inputs()
+    params = m.init(jax.random.PRNGKey(0), x, t, y)
+    bad = dict(y, context=jnp.zeros((2, 5, 99)))
+    with pytest.raises(ValueError, match="context_dim"):
+        m.apply(params, x, t, bad)
+
+
+def test_train_dotlist_shared_helper():
+    """One dotlist parser for all trainers (review fix): k=v, --k=v and
+    'k v' pair forms."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(repo, "scripts") not in sys.path:
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+    from _common import train_dotlist
+
+    assert train_dotlist(["a.b=1", "--c.d=2"]) == ["a.b=1", "c.d=2"]
+    assert train_dotlist(["train.n_steps", "40"]) == ["train.n_steps=40"]
+    assert train_dotlist([]) == []
 
 
 def test_pre_only_last_block_param_shapes():
@@ -211,7 +238,7 @@ def test_flow_cfg_seam():
         calls.append(xx.shape[0])
         return m.apply(variables, xx, tt, y)
 
-    null = MMDiT.null_conditioning(2, 5, context_dim=16, pooled_dim=12)
+    null = m.null_conditioning(2, 5)
     noise = jnp.asarray(RS.randn(2, 8, 8, 3), jnp.float32)
     cfg = FlowMatchingCFG(guidance_scale=1.0, respace_steps=4)
     got = cfg.sample(model_fn, noise, None, uncond_conditioning=null,
