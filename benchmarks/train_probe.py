@@ -266,6 +266,72 @@ def dit(batch, opt="adamw_bf16mu", remat=True):
     }), flush=True)
 
 
+def mmdit(batch, size="MMDiT-L/2", opt="adafactor", remat=True, ctx_len=77):
+    """SD3-class MMDiT rectified-flow train step (256² latents: 32×32×4,
+    T5-width context + CLIP-width pooled).  fwd FLOPs are XLA-counted via
+    cost_analysis, so the MFU is honest for any size/ctx_len."""
+    from dmtpu.diffusions import FlowMatching
+    from dmtpu.models.mmdit import mmdit_model
+
+    model = mmdit_model(size, input_size=32, in_channels=4,
+                        context_dim=4096, pooled_dim=2048,
+                        dtype=jnp.bfloat16, use_checkpoint=remat,
+                        prefer_flash=True)
+
+    def init_fn(rng):
+        y0 = {"context": jnp.zeros((1, ctx_len, 4096)),
+              "pooled": jnp.zeros((1, 2048))}
+        return model.init(rng, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), y0)
+
+    def apply_fn(p, x, t, rngs=None, context=None, pooled=None, **kw):
+        drop = None if rngs is None else rngs.get("dropout")
+        return model.apply(p, x, t, {"context": context, "pooled": pooled},
+                           train=True, force_drop_rng=drop)
+
+    tx = (optim_lib.adafactor(lr=1e-4) if opt == "adafactor"
+          else optim_lib.adamw(lr=1e-4, mu_dtype="bfloat16"))
+    diffuser = FlowMatching(total_steps=1000)
+    loss_fn = make_diffusion_loss_fn(diffuser, apply_fn, total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    params = jax.jit(init_fn)(rng)
+    n_params = sum(int(p.size) for p in jax.tree.leaves(params))
+
+    # XLA-counted forward cost at batch 1 (2 flops/MAC, like northstar's)
+    y1 = {"context": jnp.zeros((1, ctx_len, 4096)), "pooled": jnp.zeros((1, 2048))}
+    fwd = jax.jit(lambda p: model.apply(p, jnp.zeros((1, 32, 32, 4)),
+                                        jnp.zeros((1,)), y1))
+    cost = fwd.lower(params).compile().cost_analysis()
+    fwd_gflops = float(cost["flops"]) / 1e9
+
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 32, 32, 4)),
+               "context": jax.random.normal(rng, (batch, ctx_len, 4096)),
+               "pooled": jax.random.normal(rng, (batch, 2048))}
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch_d, rng)
+    l0 = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch_d, jax.random.fold_in(rng, i))
+        _ = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    model_tf_per_img = 3.0 * fwd_gflops / 1e3
+    print(json.dumps({
+        "label": f"mmdit_train_{size.replace('/', '')}_b{batch}_{opt}"
+        + ("" if remat else "_noremat"),
+        "batch": batch, "params_m": round(n_params / 1e6, 1),
+        "fwd_gflops": round(fwd_gflops, 1),
+        "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
+        "imgs_per_sec": round(batch / dt, 3), "loss0": round(l0, 4),
+        "train_mfu_v5e": round((batch / dt) * model_tf_per_img / V5E_PEAK_TFLOPS, 3),
+        "all_times": [round(t, 4) for t in times],
+    }), flush=True)
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     if which in ("all", "sd4"):
@@ -338,3 +404,14 @@ if __name__ == "__main__":
         sd15(16, remat="dots", ema=True, ema_dtype="bfloat16")
     if which == "sd24dots":
         sd15(24, remat="dots")
+    # round 4: SD3-class MMDiT rectified-flow training
+    if which == "mmditb32":
+        mmdit(32, size="MMDiT-B/2")
+    if which == "mmditb32nr":
+        mmdit(32, size="MMDiT-B/2", remat=False)
+    if which == "mmditl8":
+        mmdit(8, size="MMDiT-L/2")
+    if which == "mmditl16":
+        mmdit(16, size="MMDiT-L/2")
+    if which == "mmditl32":
+        mmdit(32, size="MMDiT-L/2")
