@@ -266,17 +266,24 @@ def dit(batch, opt="adamw_bf16mu", remat=True):
     }), flush=True)
 
 
-def mmdit(batch, size="MMDiT-L/2", opt="adafactor", remat=True, ctx_len=77):
+def mmdit(batch, size="MMDiT-L/2", opt="adafactor", remat=True, ctx_len=77,
+          bf16_params=False, qk_norm=True):
     """SD3-class MMDiT rectified-flow train step (256² latents: 32×32×4,
     T5-width context + CLIP-width pooled).  fwd FLOPs are XLA-counted via
-    cost_analysis, so the MFU is honest for any size/ctx_len."""
+    cost_analysis, so the MFU is honest for any size/ctx_len.
+
+    Round-5 ablation axes: ``ctx_len=128`` pads the joint sequence to a
+    lane-aligned 384; ``bf16_params`` stores torso params in bf16 (the
+    L/2-on-16GB lever); ``qk_norm=False`` drops the per-block f32 RMSNorm
+    islands to price them."""
     from dmtpu.diffusions import FlowMatching
     from dmtpu.models.mmdit import mmdit_model
 
     model = mmdit_model(size, input_size=32, in_channels=4,
                         context_dim=4096, pooled_dim=2048,
                         dtype=jnp.bfloat16, use_checkpoint=remat,
-                        prefer_flash=True)
+                        qk_norm=qk_norm, prefer_flash=True,
+                        param_dtype=jnp.bfloat16 if bf16_params else jnp.float32)
 
     def init_fn(rng):
         y0 = {"context": jnp.zeros((1, ctx_len, 4096)),
@@ -322,7 +329,11 @@ def mmdit(batch, size="MMDiT-L/2", opt="adafactor", remat=True, ctx_len=77):
     model_tf_per_img = 3.0 * fwd_gflops / 1e3
     print(json.dumps({
         "label": f"mmdit_train_{size.replace('/', '')}_b{batch}_{opt}"
-        + ("" if remat else "_noremat"),
+        + (f"_remat-{remat}" if isinstance(remat, str)
+           else ("" if remat else "_noremat"))
+        + (f"_ctx{ctx_len}" if ctx_len != 77 else "")
+        + ("_bf16p" if bf16_params else "")
+        + ("" if qk_norm else "_noqk"),
         "batch": batch, "params_m": round(n_params / 1e6, 1),
         "fwd_gflops": round(fwd_gflops, 1),
         "compile_s": round(compile_s, 1), "step_s": round(dt, 4),
@@ -415,3 +426,28 @@ if __name__ == "__main__":
         mmdit(16, size="MMDiT-L/2")
     if which == "mmditl32":
         mmdit(32, size="MMDiT-L/2")
+    # round 5: MMDiT MFU decomposition + L/2-on-16GB (VERDICT r4 #1)
+    if which == "mmditb64nr":
+        mmdit(64, size="MMDiT-B/2", remat=False)
+    if which == "mmditb128nr":
+        mmdit(128, size="MMDiT-B/2", remat=False)
+    if which == "mmditb256nr":
+        mmdit(256, size="MMDiT-B/2", remat=False)
+    if which == "mmditb32nrctx128":
+        mmdit(32, size="MMDiT-B/2", remat=False, ctx_len=128)
+    if which == "mmditb128nrctx128":
+        mmdit(128, size="MMDiT-B/2", remat=False, ctx_len=128)
+    if which == "mmditb32nradamw":
+        mmdit(32, size="MMDiT-B/2", remat=False, opt="adamw_bf16mu")
+    if which == "mmditb32nrnoqk":
+        mmdit(32, size="MMDiT-B/2", remat=False, qk_norm=False)
+    if which == "mmditl8bf16p":
+        mmdit(8, size="MMDiT-L/2", bf16_params=True)
+    if which == "mmditl16bf16p":
+        mmdit(16, size="MMDiT-L/2", bf16_params=True)
+    if which == "mmditl32bf16p":
+        mmdit(32, size="MMDiT-L/2", bf16_params=True)
+    if which == "mmditl32bf16pattn":
+        mmdit(32, size="MMDiT-L/2", bf16_params=True, remat="attn")
+    if which == "mmditl64bf16p":
+        mmdit(64, size="MMDiT-L/2", bf16_params=True)

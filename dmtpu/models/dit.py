@@ -69,13 +69,16 @@ class TimmMlp(nn.Module):
 
     hidden: int
     dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         d = x.shape[-1]
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        return nn.Dense(d, dtype=self.dtype, name="fc2")(x)
+        return nn.Dense(d, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="fc2")(x)
 
 
 class DiTBlock(nn.Module):
@@ -106,18 +109,20 @@ class FinalLayer(nn.Module):
     patch_size: int
     out_channels: int
     dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, c: Array) -> Array:
         d = x.shape[-1]
         mod = nn.Dense(2 * d, kernel_init=nn.initializers.zeros,
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
+                       param_dtype=self.param_dtype,
                        name="adaLN_modulation__1")(jax.nn.silu(c))
         shift, scale = jnp.split(mod, 2, axis=-1)
         x = modulate(nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x), shift, scale)
         return nn.Dense(self.patch_size * self.patch_size * self.out_channels,
                         kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-                        name="linear")(x)
+                        param_dtype=self.param_dtype, name="linear")(x)
 
 
 class DiT(nn.Module):

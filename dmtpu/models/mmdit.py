@@ -21,6 +21,11 @@ TPU-first design notes:
   — the SD3.5 stabilization — behind ``qk_norm``.
 - ``use_checkpoint`` remats per block like DiT; ``prefer_flash`` flips the
   attention dispatch for training graphs (see ops/attention.py).
+- ``param_dtype=bfloat16`` stores the TORSO weights (blocks, embedders,
+  final layer — ~99.8% of the count) in bf16, halving params+grads HBM:
+  the lever that fits MMDiT-L/2 (the ~2B-param SD3-medium config) on one
+  16 GB chip with adafactor (f32 params+grads alone are ~16.4 GB).  The
+  conditioning MLPs and norm scales stay f32 (tiny, precision-sensitive).
 
 Conditioning seam: ``y = {"context": [B, L, Dc], "pooled": [B, Dp]}`` — a
 single pytree kwarg, so ``FlowMatchingCFG(cond_kwarg="y")`` (and the DDPM
@@ -73,6 +78,7 @@ class MMDiTBlock(nn.Module):
     context_pre_only: bool = False
     prefer_flash: bool = False
     dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ctx: Array, x: Array, c: Array
@@ -85,7 +91,7 @@ class MMDiTBlock(nn.Module):
             use_bias=False, use_scale=False, epsilon=1e-6)(z)
         zeros_dense = lambda n, name: nn.Dense(  # noqa: E731
             n, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name=name)
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name)
 
         # per-stream adaLN-Zero modulation
         x_mod = zeros_dense(6 * d, "x_adaLN")(silu_c)
@@ -100,7 +106,8 @@ class MMDiTBlock(nn.Module):
         # per-stream qkv on the modulated tokens
         def qkv_of(tokens, shift, scale, name):
             h = modulate(ln(tokens), shift, scale)
-            qkv = nn.Dense(3 * d, dtype=self.dtype, name=name)(h)
+            qkv = nn.Dense(3 * d, dtype=self.dtype, param_dtype=self.param_dtype,
+                           name=name)(h)
             qkv = qkv.reshape(tokens.shape[0], tokens.shape[1], 3, self.num_heads, hd)
             return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -119,14 +126,19 @@ class MMDiTBlock(nn.Module):
         c_att, x_att = o[:, :lc], o[:, lc:]
 
         # image stream: gated residuals (adaLN-Zero => identity at init)
-        x = x + xg_msa[:, None] * nn.Dense(d, dtype=self.dtype, name="x_proj")(x_att)
+        x = x + xg_msa[:, None] * nn.Dense(d, dtype=self.dtype,
+                                           param_dtype=self.param_dtype,
+                                           name="x_proj")(x_att)
         x = x + xg_mlp[:, None] * TimmMlp(int(d * self.mlp_ratio), dtype=self.dtype,
+                                          param_dtype=self.param_dtype,
                                           name="x_mlp")(modulate(ln(x), xs_mlp, xsc_mlp))
         if self.context_pre_only:
             return None, x
         ctx = ctx + cg_msa[:, None] * nn.Dense(d, dtype=self.dtype,
+                                               param_dtype=self.param_dtype,
                                                name="ctx_proj")(c_att)
         ctx = ctx + cg_mlp[:, None] * TimmMlp(int(d * self.mlp_ratio), dtype=self.dtype,
+                                              param_dtype=self.param_dtype,
                                               name="ctx_mlp")(
             modulate(ln(ctx), cs_mlp, csc_mlp))
         return ctx, x
@@ -154,25 +166,29 @@ class MMDiT(nn.Module):
     use_checkpoint: Any = False
     prefer_flash: bool = False
     dtype: Any = None
+    param_dtype: Any = jnp.float32
 
     def setup(self):
         p = self.patch_size
         self.x_proj = nn.Conv(self.hidden_size, (p, p), strides=p, padding=0,
-                              dtype=self.dtype, name="x_embedder")
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="x_embedder")
         self.t_mlp0 = nn.Dense(self.hidden_size, name="t_mlp0")
         self.t_mlp2 = nn.Dense(self.hidden_size, name="t_mlp2")
         self.p_mlp0 = nn.Dense(self.hidden_size, name="pooled_mlp0")
         self.p_mlp2 = nn.Dense(self.hidden_size, name="pooled_mlp2")
         self.ctx_proj = nn.Dense(self.hidden_size, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
                                  name="context_embedder")
         self.blocks = [
             MMDiTBlock(self.num_heads, self.mlp_ratio, qk_norm=self.qk_norm,
                        context_pre_only=(i == self.depth - 1),
                        prefer_flash=self.prefer_flash, dtype=self.dtype,
-                       name=f"blocks__{i}")
+                       param_dtype=self.param_dtype, name=f"blocks__{i}")
             for i in range(self.depth)
         ]
         self.final = FinalLayer(p, self.in_channels, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
                                 name="final_layer")
 
     def null_conditioning(self, batch: int, context_len: int,

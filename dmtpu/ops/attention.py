@@ -110,7 +110,14 @@ def _use_small_d(sq: int, sk: int, d: int, prefer_flash: bool = False) -> bool:
     - SAMPLING (forward-only): the XLA one-shot path still wins (2.76 vs
       2.37 samples/s headline A/B) — default stays XLA.
     DMTPU_SMALL_D=1 forces the kernel everywhere and =0 disables it
-    everywhere, keeping the single-env A/B for both paths."""
+    everywhere, keeping the single-env A/B for both paths.
+
+    Measurement scope: the chip A/B covered SD's d=40 (S=4096) and d=80
+    (S=1024) shapes.  Other small-d shapes the gate admits (e.g. SDXL's
+    d=64 at S%1024==0) are EXTRAPOLATED — the fused 5-matmul backward's
+    advantage grows as d shrinks below the 128-lane pad, so the win should
+    hold at d<=80 and shrink toward d=128 — but they are not chip-measured;
+    DMTPU_SMALL_D=0 is the escape hatch if a new shape regresses."""
     import os
 
     if d >= 128:

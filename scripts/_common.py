@@ -33,12 +33,30 @@ def train_dotlist(unknown):
     """Dotlist from a trainer's unknown args (shared by all train_*.py).
 
     Accepts ``--key=value``/``key=value``, or ``key value`` pairs (the
-    trainers' historical form).
+    trainers' historical form), including a mixture of both: each ``=``
+    token passes through on its own and dash-less tokens pair up.  A ``=``
+    token arriving mid-pair (``['lr', 'a=b', '0.1']``) is ambiguous and
+    aborts loudly, as does a dangling key with no value.
     """
     unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
-    if all("=" in a for a in unknown):
-        return unknown
-    return [f"{k}={v}" for k, v in zip(unknown[::2], unknown[1::2])]
+    out, pending = [], []
+    for a in unknown:
+        if "=" in a:
+            if pending:
+                raise SystemExit(
+                    f"cannot mix override forms: {a!r} follows the unpaired "
+                    f"token {pending[0]!r} (use key=value or key value pairs)")
+            out.append(a)
+        else:
+            pending.append(a)
+            if len(pending) == 2:
+                out.append(f"{pending[0]}={pending[1]}")
+                pending = []
+    if pending:
+        raise SystemExit(
+            f"dangling config override {pending[0]!r}: expected a value "
+            "(key value) or use key=value form")
+    return out
 
 
 def load_conf(args, unknown):

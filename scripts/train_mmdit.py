@@ -203,14 +203,17 @@ def main():
         timer.tick()
         # buffer device scalars; fetching every step would serialise on host
         # round-trips (same deferred-sync pattern as train_ddpm.py)
-        pending.append((step, metrics))
+        # throughput is recorded at tick time so the flushed history keeps
+        # the true per-step reading instead of flattening to the flush-time
+        # value (advisor round-4 finding)
+        pending.append((step, metrics, timer.throughput(conf.train.batch_size)))
         if check_freq(conf.train.print_freq, step) or step + 1 == conf.train.n_steps:
-            for s_, m_ in pending:
+            for s_, m_, tput_ in pending:
                 tracker.track_status(
                     "Train",
                     {"loss": m_["loss"], "grad_norm": m_["grad_norm"],
                      "lr": lr_at(s_),
-                     "imgs_per_sec": timer.throughput(conf.train.batch_size)},
+                     "imgs_per_sec": tput_},
                     s_)
             pending.clear()
         if check_freq(conf.train.save_freq, step):

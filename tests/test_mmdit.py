@@ -199,6 +199,15 @@ def test_train_dotlist_shared_helper():
     assert train_dotlist(["a.b=1", "--c.d=2"]) == ["a.b=1", "c.d=2"]
     assert train_dotlist(["train.n_steps", "40"]) == ["train.n_steps=40"]
     assert train_dotlist([]) == []
+    # mixed forms pair independently instead of zipping into bogus overrides
+    # (advisor round-4 finding: ['a=b','lr','0.1'] used to mis-pair)
+    assert train_dotlist(["a=b", "lr", "0.1"]) == ["a=b", "lr=0.1"]
+    assert train_dotlist(["lr", "0.1", "--a=b"]) == ["lr=0.1", "a=b"]
+    import pytest
+    with pytest.raises(SystemExit):  # '=' token mid-pair is ambiguous
+        train_dotlist(["lr", "a=b", "0.1"])
+    with pytest.raises(SystemExit):  # dangling key with no value
+        train_dotlist(["a=b", "lr"])
 
 
 def test_pre_only_last_block_param_shapes():
@@ -348,3 +357,26 @@ def test_configs_and_registry():
                        "context_dim": 16, "pooled_dim": 12}}
     m2 = instantiate_from_config(conf)
     assert isinstance(m2, MMDiT)
+
+
+def test_bf16_param_dtype_torso():
+    """param_dtype=bf16 stores the torso (blocks/embedders/final) in bf16 —
+    the L/2-on-16GB memory lever — while the conditioning MLPs and norm
+    scales stay f32; forward still runs and matches the f32-param model's
+    output shape/finiteness."""
+    m = tiny_mmdit(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    x, t, y = tiny_inputs()
+    params = m.init(jax.random.PRNGKey(0), x, t, y)
+    sizes = {"bfloat16": 0, "float32": 0}
+    for p in jax.tree.leaves(params):
+        sizes[str(p.dtype)] += int(p.size)
+    total = sizes["bfloat16"] + sizes["float32"]
+    assert sizes["bfloat16"] / total > 0.5  # torso dominates even tiny configs
+    # f32 islands survive: time/pooled MLPs + qk-norm scales
+    flat = {"/".join(str(p) for p in k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(params)[0]}
+    f32_names = [k for k, v in flat.items() if v.dtype == jnp.float32]
+    assert any("t_mlp0" in k for k in f32_names)
+    assert any("qknorm" in k for k in f32_names)
+    out = m.apply(params, x, t, y)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))

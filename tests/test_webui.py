@@ -79,11 +79,15 @@ def test_webui_uncond_sample_roundtrip(app_mod, tmp_path):
         # beyond-parity low-NFE sampler over the same grid
         status, body = _get(port, "/sample?sampler=pfdiff&steps=4&n=2&seed=1")
         assert status == 200 and "data:image/png;base64," in body, body[:500]
-        # flow-matching ODE sampler; also reachable from the form's dropdown
+        # flow sampler on an eps-trained checkpoint is silently meaningless
+        # (FlowMatching integrates the output as a velocity): the UI must
+        # reject it and keep it out of the dropdown (advisor round-4 finding)
         status, body = _get(port, "/sample?sampler=flow&steps=4&n=2&seed=1")
-        assert status == 200 and "data:image/png;base64," in body, body[:500]
+        assert status == 200 and "data:image/png;base64," not in body
+        assert "does not match" in body, body[:500]
         status, body = _get(port, "/")
-        assert "<option>flow</option>" in body
+        assert "<option>flow</option>" not in body
+        assert "<option>ddim</option>" in body
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404
@@ -116,5 +120,42 @@ def test_webui_cfg_branch(app_mod, tmp_path):
         # PFDiff-CFG branch (guided springboard/future scores)
         status, body = _get(port, "/sample?sampler=pfdiff&steps=4&n=2&seed=1&y=3&gs=2")
         assert status == 200 and "data:image/png;base64," in body, body[:500]
+    finally:
+        server.shutdown()
+
+
+def test_webui_flow_config_gates_samplers(app_mod, tmp_path):
+    """A flow-trained config offers ONLY the flow sampler (and it works);
+    eps-family samplers are rejected — the inverse of the uncond test's
+    gate (advisor round-4 finding)."""
+    import yaml
+
+    from dmtpu.models import UNet
+    from tests._tiny_fixtures import (save_npz_params, tiny_uncond_config,
+                                      write_yaml)
+
+    base = tiny_uncond_config(tmp_path / "base.yaml")
+    conf_d = yaml.safe_load(open(base))
+    conf_d["diffusion"] = {"target": "diffusions.flow.FlowMatching",
+                           "params": {"total_steps": 100}}
+    conf = write_yaml(tmp_path / "conf.yaml", conf_d)
+    model = UNet(in_channels=3, out_channels=3, dim=32, dim_mults=(1, 2),
+                 use_attn=(False, True), num_res_blocks=1, n_heads=1)
+    weights = save_npz_params(
+        tmp_path / "w.npz", model,
+        (jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)))
+
+    app = app_mod.App(conf, weights)
+    assert app.samplers == ("flow",)
+    server, port = _serve(app_mod, app)
+    try:
+        status, body = _get(port, "/")
+        assert "<option>flow</option>" in body
+        assert "<option>ddim</option>" not in body
+        # default sampler (no query param) must be the flow family, not ddim
+        status, body = _get(port, "/sample?steps=4&n=2&seed=1")
+        assert status == 200 and "data:image/png;base64," in body, body[:500]
+        status, body = _get(port, "/sample?sampler=ddpm&steps=4&n=2&seed=1")
+        assert status == 200 and "does not match" in body
     finally:
         server.shutdown()

@@ -52,7 +52,7 @@ img{{image-rendering:pixelated;border:1px solid #ccc;margin-top:1em}}
 <h2>dmtpu — TPU-native diffusion sampler</h2>
 <form action="/sample" method="get">
 <p><label>Sampler</label><select name="sampler">
-<option>ddpm</option><option>ddim</option><option>euler</option><option>heun</option><option>dpmpp</option><option>pfdiff</option><option>flow</option>
+{sampler_options}
 </select></p>
 <p><label>Steps</label><input name="steps" type="number" value="50"></p>
 <p><label>Variance</label><select name="var_type">
@@ -83,6 +83,13 @@ class App:
         self.cond = cond
         self.params = load_model_params(weights, self.model, margs)
         self.shape = shape[1:]
+        # A flow/velocity-trained checkpoint and an eps-trained one are not
+        # sampler-interchangeable: FlowMatching integrates the model output
+        # as a velocity, the DDPM family as eps/x0 — crossing them produces
+        # silently meaningless images.  Offer only the matching family.
+        self.is_flow = "flow" in str(self.conf.diffusion.get("target", "")).lower()
+        self.samplers = (("flow",) if self.is_flow else
+                         ("ddpm", "ddim", "euler", "heun", "dpmpp", "pfdiff"))
         self.lock = threading.Lock()
         # bounded FIFO of compiled samplers: each distinct (sampler, steps,
         # var_type, cond, gs) combination bakes a new jitted reverse scan —
@@ -91,8 +98,18 @@ class App:
         self._cache = {}
         self._cache_max = 8
 
+    def page(self, body: str) -> str:
+        opts = "".join(f"<option>{s}</option>" for s in self.samplers)
+        return PAGE.format(sampler_options=opts, body=body)
+
     def sample(self, sampler: str, steps: int, var_type: str, n: int, seed: int,
                y: int, gs: float) -> np.ndarray:
+        if sampler not in self.samplers:
+            raise ValueError(
+                f"sampler {sampler!r} does not match this checkpoint's "
+                f"diffusion family (config target "
+                f"{self.conf.diffusion.get('target')}); available: "
+                f"{', '.join(self.samplers)}")
         dp = dict(self.conf.diffusion.get("params", {}))
         dp.pop("device", None)
         dp.update(respace_type="uniform", respace_steps=steps, var_type=var_type)
@@ -134,13 +151,13 @@ def make_handler(app: App):
         def do_GET(self):
             url = urlparse(self.path)
             if url.path == "/":
-                self._html(PAGE.format(body=""))
+                self._html(app.page(""))
             elif url.path == "/sample":
                 q = {k: v[0] for k, v in parse_qs(url.query).items()}
                 try:
                     with app.lock:
                         imgs = app.sample(
-                            q.get("sampler", "ddim"), int(q.get("steps", 50)),
+                            q.get("sampler", app.samplers[0]), int(q.get("steps", 50)),
                             q.get("var_type", "fixed_small"), int(q.get("n", 16)),
                             int(q.get("seed", 0)), int(q.get("y", -1)),
                             float(q.get("gs", 3.0)))
@@ -148,10 +165,10 @@ def make_handler(app: App):
                     buf = io.BytesIO()
                     to_pil(grid).save(buf, "PNG")
                     b64 = base64.b64encode(buf.getvalue()).decode()
-                    self._html(PAGE.format(
-                        body=f'<img src="data:image/png;base64,{b64}" width="512">'))
+                    self._html(app.page(
+                        f'<img src="data:image/png;base64,{b64}" width="512">'))
                 except Exception as e:  # pragma: no cover
-                    self._html(PAGE.format(body=f"<pre>error: {e}</pre>"))
+                    self._html(app.page(f"<pre>error: {e}</pre>"))
             elif url.path == "/health":
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
