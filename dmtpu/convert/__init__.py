@@ -3,5 +3,6 @@ from dmtpu.convert.common import (
     convert_by_structure,
     load_torch_weights,
 )
+from dmtpu.convert.zoo import convert_mmdit
 
-__all__ = ["convert_by_structure", "load_torch_weights"]
+__all__ = ["convert_by_structure", "convert_mmdit", "load_torch_weights"]

@@ -163,6 +163,7 @@ class MMDiT(nn.Module):
     pooled_dim: int = 2048       # pooled text vector width (CLIP-L+G 768+1280)
     cond_dropout_prob: float = 0.1
     qk_norm: bool = True
+    pos_embed_max_size: Optional[int] = None
     use_checkpoint: Any = False
     prefer_flash: bool = False
     dtype: Any = None
@@ -235,8 +236,26 @@ class MMDiT(nn.Module):
         p = self.patch_size
         grid = self.input_size // p
         tokens = self.x_proj(x).reshape(b, grid * grid, self.hidden_size)
-        pos = jnp.asarray(get_2d_sincos_pos_embed(self.hidden_size, grid)[None],
-                          jnp.float32)
+        if self.pos_embed_max_size is not None:
+            # SD3 convention: the sincos table is laid out for the TRAINING
+            # base grid (pos_embed_max_size) and the current grid reads the
+            # CENTER crop — positions keep their absolute (offset) values, so
+            # a converted SD3 checkpoint sees the embedding it was trained
+            # with at any resolution <= base (sgm mmdit cropped_pos_embed).
+            ms = self.pos_embed_max_size
+            if grid > ms:
+                raise ValueError(f"input grid {grid} exceeds "
+                                 f"pos_embed_max_size {ms}")
+            full = get_2d_sincos_pos_embed(self.hidden_size, ms)
+            full = full.reshape(ms, ms, self.hidden_size)
+            top = (ms - grid) // 2
+            crop = full[top:top + grid, top:top + grid]
+            pos = jnp.asarray(crop.reshape(1, grid * grid, self.hidden_size),
+                              jnp.float32)
+        else:
+            pos = jnp.asarray(
+                get_2d_sincos_pos_embed(self.hidden_size, grid)[None],
+                jnp.float32)
         tokens = tokens + pos.astype(tokens.dtype)
         ctx, c = self._condition(t, y, b, train=train, force_drop_rng=force_drop_rng)
 

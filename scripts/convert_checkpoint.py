@@ -55,6 +55,18 @@ def main():
     elif "dit.dit" in target or "mdt.mdt" in target:
         vae_sd = load_torch_weights(args.vae_weights) if args.vae_weights else None
         params = model.load_state_dict(sd, vae_sd)
+    elif "mmdit" in target.lower():
+        from dmtpu.convert.zoo import convert_mmdit
+
+        img_size = conf.get("data", {}).get("params", {}).get(
+            "img_size", conf.model.params.get("input_size", 32))
+        ch = conf.model.params.get("in_channels", 4)
+        x = jnp.zeros((1, img_size, img_size, ch))
+        y = {"context": jnp.zeros((1, 1, conf.model.params.context_dim)),
+             "pooled": jnp.zeros((1, conf.model.params.pooled_dim))}
+        init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x,
+                              jnp.zeros((1,)), y)
+        params = convert_mmdit(sd, init)
     elif args.uncond_weights is not None:
         from dmtpu.convert.zoo import combine_adm_weights
 

@@ -1,0 +1,161 @@
+"""SD3→MMDiT checkpoint converter (dmtpu/convert/zoo.py::convert_mmdit).
+
+No SD3 torch oracle exists in this image, so the test constructs an
+sgm-layout state_dict FROM a live flax MMDiT by the inverse key/layout map
+and asserts the converter reproduces the exact tree — proving (a) every
+upstream tensor name is recognised, (b) every flax leaf is filled (strict
+structural matching already fails on gaps), and (c) the Dense/Conv layout
+transforms are the matcher's own, in both qk-norm variants (SD3-medium has
+no qk norm; SD3.5 does).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmtpu.convert import convert_mmdit
+from dmtpu.models.mmdit import MMDiT
+
+
+def tiny(qk_norm):
+    return MMDiT(input_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                 depth=3, num_heads=2, context_dim=16, pooled_dim=12,
+                 qk_norm=qk_norm)
+
+
+def init_params(m, rs):
+    y = {"context": jnp.zeros((1, 5, 16)), "pooled": jnp.zeros((1, 12))}
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+                    jnp.zeros((1,)), y)
+    # randomize (zero-inits included) so equality is meaningful
+    return jax.tree.map(
+        lambda a: jnp.asarray(rs.randn(*a.shape), a.dtype), params)
+
+
+_STREAM = {"x": "x_block", "ctx": "context_block"}
+
+
+def _to_sgm(params):
+    """Inverse of convert_mmdit's key map: flax tree -> sgm state_dict."""
+    sd = {}
+
+    def dense(prefix, p):
+        sd[prefix + ".weight"] = np.asarray(p["kernel"]).T
+        if "bias" in p:
+            sd[prefix + ".bias"] = np.asarray(p["bias"])
+
+    p = params["params"]
+    k = np.asarray(p["x_embedder"]["kernel"])  # HWIO -> OIHW
+    sd["x_embedder.proj.weight"] = np.transpose(k, (3, 2, 0, 1))
+    sd["x_embedder.proj.bias"] = np.asarray(p["x_embedder"]["bias"])
+    dense("t_embedder.mlp.0", p["t_mlp0"])
+    dense("t_embedder.mlp.2", p["t_mlp2"])
+    dense("y_embedder.mlp.0", p["pooled_mlp0"])
+    dense("y_embedder.mlp.2", p["pooled_mlp2"])
+    dense("context_embedder", p["context_embedder"])
+    for name, blk in p.items():
+        if not name.startswith("blocks__"):
+            continue
+        i = name.split("__")[1]
+        for s, sgm_s in _STREAM.items():
+            base = f"joint_blocks.{i}.{sgm_s}"
+            if f"{s}_adaLN" in blk:
+                dense(f"{base}.adaLN_modulation.1", blk[f"{s}_adaLN"])
+            if f"{s}_qkv" in blk:
+                dense(f"{base}.attn.qkv", blk[f"{s}_qkv"])
+            if f"{s}_proj" in blk:
+                dense(f"{base}.attn.proj", blk[f"{s}_proj"])
+            if f"{s}_qknorm" in blk:
+                sd[f"{base}.attn.ln_q.weight"] = np.asarray(
+                    blk[f"{s}_qknorm"]["q_norm"]["scale"])
+                sd[f"{base}.attn.ln_k.weight"] = np.asarray(
+                    blk[f"{s}_qknorm"]["k_norm"]["scale"])
+            if f"{s}_mlp" in blk:
+                dense(f"{base}.mlp.fc1", blk[f"{s}_mlp"]["fc1"])
+                dense(f"{base}.mlp.fc2", blk[f"{s}_mlp"]["fc2"])
+    dense("final_layer.adaLN_modulation.1", p["final_layer"]["adaLN_modulation__1"])
+    dense("final_layer.linear", p["final_layer"]["linear"])
+    # single-file-release extras the converter must skip
+    sd["pos_embed"] = np.zeros((1, 16, 32), np.float32)
+    sd["first_stage_model.decoder.conv_in.weight"] = np.zeros((4, 4, 3, 3))
+    sd["text_encoders.t5xxl.logit_scale"] = np.zeros(())
+    return sd
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_roundtrip_exact(qk_norm):
+    m = tiny(qk_norm)
+    params = init_params(m, np.random.RandomState(0 if qk_norm else 1))
+    sd = {"model.diffusion_model." + k if not k.startswith(
+        ("first_stage_model.", "text_encoders.")) else k: v
+        for k, v in _to_sgm(params).items()}
+    got = convert_mmdit(sd, jax.tree.map(np.asarray, params))
+    flat_want = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_got = {tuple(str(x) for x in k): v for k, v in
+                jax.tree_util.tree_flatten_with_path(got)[0]}
+    assert len(flat_got) == len(flat_want)  # 100% leaf coverage
+    for k, want in flat_want:
+        key = tuple(str(x) for x in k)
+        np.testing.assert_array_equal(flat_got[key], np.asarray(want), err_msg=str(key))
+
+
+def test_pre_only_last_block_has_no_ctx_tail():
+    """The sgm dict generated from the flax tree must itself lack the last
+    context block's proj/mlp (pre-only) — guards the map against silently
+    requiring tensors SD3 checkpoints don't have."""
+    m = tiny(True)
+    params = init_params(m, np.random.RandomState(2))
+    sd = _to_sgm(params)
+    last = f"joint_blocks.{m.depth - 1}.context_block"
+    assert f"{last}.attn.qkv.weight" in sd
+    assert f"{last}.attn.proj.weight" not in sd
+    assert f"{last}.mlp.fc1.weight" not in sd
+    assert sd[f"{last}.adaLN_modulation.1.weight"].shape[0] == 2 * 32
+
+
+def test_attn2_rejected_loudly():
+    m = tiny(False)
+    params = init_params(m, np.random.RandomState(3))
+    sd = _to_sgm(params)
+    sd["joint_blocks.0.x_block.attn2.qkv.weight"] = np.zeros((96, 32))
+    with pytest.raises(ValueError, match="attn2"):
+        convert_mmdit(sd, jax.tree.map(np.asarray, params))
+
+
+def test_missing_tensor_fails_loudly():
+    m = tiny(False)
+    params = init_params(m, np.random.RandomState(4))
+    sd = _to_sgm(params)
+    del sd["joint_blocks.1.x_block.mlp.fc1.weight"]
+    with pytest.raises(ValueError, match="unfilled"):
+        convert_mmdit(sd, jax.tree.map(np.asarray, params))
+
+
+def test_cropped_pos_embed_convention():
+    """pos_embed_max_size: same grid == no-op; larger base == center crop of
+    the base sincos table (SD3's cropped_pos_embed), changing the forward."""
+    from dmtpu.models.dit import get_2d_sincos_pos_embed
+
+    full = get_2d_sincos_pos_embed(32, 8).reshape(8, 8, 32)
+    crop = full[2:6, 2:6].reshape(16, 32)
+    assert not np.allclose(crop, get_2d_sincos_pos_embed(32, 4))
+
+    x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 8, 4), jnp.float32)
+    y = {"context": jnp.zeros((1, 5, 16)), "pooled": jnp.zeros((1, 12))}
+    m_eq = MMDiT(input_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                 depth=2, num_heads=2, context_dim=16, pooled_dim=12,
+                 pos_embed_max_size=4)  # grid == 8/2 == max -> identical
+    m_plain = m_eq.clone(pos_embed_max_size=None)
+    params = init_params(m_plain, np.random.RandomState(6))
+    np.testing.assert_array_equal(
+        np.asarray(m_eq.apply(params, x, jnp.zeros((1,)), y)),
+        np.asarray(m_plain.apply(params, x, jnp.zeros((1,)), y)))
+    m_big = m_eq.clone(pos_embed_max_size=16)  # base 16 > grid 4 -> crop
+    out_big = m_big.apply(params, x, jnp.zeros((1,)), y)
+    assert out_big.shape == x.shape
+    assert not np.allclose(np.asarray(out_big),
+                           np.asarray(m_plain.apply(params, x, jnp.zeros((1,)), y)))
+    m_over = m_eq.clone(pos_embed_max_size=2)
+    with pytest.raises(ValueError, match="exceeds"):
+        m_over.apply(params, x, jnp.zeros((1,)), y)
