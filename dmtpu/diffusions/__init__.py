@@ -11,6 +11,7 @@ from dmtpu.diffusions.heun import HeunSampler
 from dmtpu.diffusions.dpm_solver import DPMSolverPP, DPMSolverPPCFG
 from dmtpu.diffusions.pfdiff import PFDiffDDIM, PFDiffDDIMCFG
 from dmtpu.diffusions.flow import FlowMatching, FlowMatchingCFG
+from dmtpu.diffusions.flow_dpm import FlowDPMSolver, FlowDPMSolverCFG
 
 __all__ = [
     "get_beta_schedule",
@@ -26,6 +27,8 @@ __all__ = [
     "DPMSolverPPCFG",
     "PFDiffDDIM",
     "PFDiffDDIMCFG",
+    "FlowDPMSolver",
+    "FlowDPMSolverCFG",
     "FlowMatching",
     "FlowMatchingCFG",
 ]

@@ -96,6 +96,8 @@ _REGISTRY: Dict[str, str] = {
     "diffusions.dpm_solver.DPMSolverPPCFG": "dmtpu.diffusions.dpm_solver.DPMSolverPPCFG",
     "diffusions.flow.FlowMatching": "dmtpu.diffusions.flow.FlowMatching",
     "diffusions.flow.FlowMatchingCFG": "dmtpu.diffusions.flow.FlowMatchingCFG",
+    "diffusions.flow_dpm.FlowDPMSolver": "dmtpu.diffusions.flow_dpm.FlowDPMSolver",
+    "diffusions.flow_dpm.FlowDPMSolverCFG": "dmtpu.diffusions.flow_dpm.FlowDPMSolverCFG",
     "diffusions.guidance.base.BaseGuidance": "dmtpu.diffusions.guidance.base.BaseGuidance",
     "diffusions.guidance.mask_guidance.MaskGuidance": "dmtpu.diffusions.guidance.mask_guidance.MaskGuidance",
     "diffusions.guidance.ilvr.ILVR": "dmtpu.diffusions.guidance.ilvr.ILVR",

@@ -44,7 +44,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from dmtpu.convert import convert_mmdit, load_torch_weights  # noqa: E402
-from dmtpu.diffusions import FlowMatching, FlowMatchingCFG  # noqa: E402
+from dmtpu.diffusions import (FlowDPMSolver, FlowDPMSolverCFG,  # noqa: E402
+                              FlowMatching, FlowMatchingCFG)
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
@@ -66,7 +67,8 @@ def get_parser():
                    help="1.0 disables CFG (single conditional call)")
     p.add_argument("--respace_type", type=str, default="uniform")
     p.add_argument("--respace_steps", type=int, default=None)
-    p.add_argument("--solver", type=str, choices=["euler", "heun"], default=None)
+    p.add_argument("--solver", type=str, choices=["euler", "heun", "dpm"],
+                   default=None, help="dpm = FlowDPM 2nd-order multistep")
     p.add_argument("--time_shift", type=float, default=None,
                    help="SD3 resolution time shift (3.0 for SD3-medium)")
     src = p.add_mutually_exclusive_group()
@@ -173,10 +175,14 @@ def main():
     if args.time_shift is not None:
         dparams["time_shift"] = args.time_shift
     gs = args.guidance_scale
-    if gs != 1.0:
-        diffuser = FlowMatchingCFG(guidance_scale=gs, **dparams)
+    if dparams.get("solver") == "dpm":
+        cls = FlowDPMSolverCFG if gs != 1.0 else FlowDPMSolver
     else:
-        diffuser = FlowMatching(**dparams)
+        cls = FlowMatchingCFG if gs != 1.0 else FlowMatching
+    if gs != 1.0:
+        diffuser = cls(guidance_scale=gs, **dparams)
+    else:
+        diffuser = cls(**dparams)
 
     # optional latent decoding (SD3 workflow)
     decode = None

@@ -31,6 +31,7 @@ from dmtpu.diffusions import (  # noqa: E402
     DDPM,
     DPMSolverPP,
     EulerSampler,
+    FlowDPMSolver,
     FlowMatching,
     HeunSampler,
     PFDiffDDIM,
@@ -61,6 +62,10 @@ COMPATIBLE_SAMPLER_MODE = dict(
     # flow matching (beyond parity): deterministic ODE — all five modes,
     # reconstruction via exact-tape ODE inversion
     flow=["sample", "denoise", "progressive", "interpolate", "reconstruction"],
+    # FlowDPM (beyond parity): 2nd-order multistep over the flow ODE; its
+    # inversion falls back to first-order Euler so reconstruction is
+    # excluded (the multistep history has no exact reverse tape)
+    flowdpm=["sample", "denoise", "progressive", "interpolate"],
 )
 
 
@@ -96,8 +101,16 @@ def build_diffuser(args, conf):
             extra["solver"] = args.flow_solver
         if args.time_shift is not None:
             extra["time_shift"] = args.time_shift
+    if args.sampler == "flowdpm":
+        if args.flow_solver is not None:
+            raise SystemExit("--flow_solver applies to the flow sampler only; "
+                             "flowdpm IS the solver")
+        if args.time_shift is not None:
+            extra["time_shift"] = args.time_shift
+        extra["solver"] = "dpm"   # overrides a flow config's euler/heun
     cls = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-           "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}[args.sampler]
+           "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching,
+           "flowdpm": FlowDPMSolver}[args.sampler]
     return cls(**diffusion_params(args, conf, **extra))
 
 

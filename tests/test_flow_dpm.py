@@ -1,0 +1,180 @@
+"""FlowDPM (DPM-Solver++(2M) for rectified flow): math oracles + seams.
+
+Same oracle strategy as tests/test_flow.py (no reference counterpart):
+point-mass and Gaussian optimal-velocity fields with closed-form flow maps.
+The solver's claim to test: at ONE model call per step it reaches Heun-class
+(2-calls-per-step) accuracy — i.e. matches Heun quality at half the NFE.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dmtpu.diffusions import FlowDPMSolver, FlowDPMSolverCFG, FlowMatching
+
+
+@pytest.fixture
+def x_init():
+    rs = np.random.RandomState(7)
+    return jnp.asarray(rs.randn(4, 8, 8, 3).astype(np.float32))
+
+
+def _gaussian_velocity(s: float):
+    def model(x, t, **kw):
+        u = (t / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+        var = (1 - u) ** 2 * s**2 + u**2
+        return (u - (1 - u) * s**2) / var * x
+    return model
+
+
+def test_point_mass_exact_any_steps(x_init):
+    """v*(x,u) = (x - x0)/u makes every pred_x0 exact, so the multistep
+    extrapolation D == x0 and the solver lands on x0 for ANY step count."""
+    x0 = jnp.asarray(0.3 * np.random.RandomState(1).randn(1, 8, 8, 3), jnp.float32)
+
+    def model(x, t, **kw):
+        u = (t / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+        return (x - x0) / jnp.maximum(u, 1e-12)
+
+    for steps in (1, 2, 9):
+        fm = FlowDPMSolver(total_steps=1000, respace_steps=steps)
+        out = fm.sample(model, x_init, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.broadcast_to(np.asarray(x0), out.shape),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_accuracy_vs_euler_heun_and_decay(x_init):
+    """Gaussian field truth x(0) = s x(1).  Robust claims (verified against
+    a trusted f64 scalar recursion of the official 2M algorithm, which
+    reproduces these errors exactly — the u-uniform grid makes the decay
+    grid-sensitive at small S because the endpoint lambda-gaps do not
+    shrink with S, so no brittle 4x-per-doubling assertion):
+
+    - >=4x more accurate than Euler at the SAME NFE;
+    - matches/beats Heun at HALF the NFE (S=12 calls vs Heun-6's 12 calls);
+    - error decays superlinearly over 40 -> 160 steps (order ~1.7 measured);
+    - quad respacing reaches ~1e-3 by 28 steps (the serving operating
+      point; see the class docstring's grid guidance)."""
+    s = 0.5
+    model = _gaussian_velocity(s)
+    truth = np.asarray(s * x_init)
+
+    def err(sampler):
+        out = sampler.sample(model, x_init, jax.random.PRNGKey(0))
+        return float(jnp.max(jnp.abs(out - truth)))
+
+    e_20 = err(FlowDPMSolver(total_steps=1000, respace_steps=20))
+    e_eu_20 = err(FlowMatching(total_steps=1000, respace_steps=20, solver="euler"))
+    assert e_20 < 0.25 * e_eu_20
+    e_12 = err(FlowDPMSolver(total_steps=1000, respace_steps=12))
+    e_he_6 = err(FlowMatching(total_steps=1000, respace_steps=6, solver="heun"))
+    assert e_12 <= 1.1 * e_he_6       # Heun quality at half the calls/step
+    e_40 = err(FlowDPMSolver(total_steps=1000, respace_steps=40))
+    e_160 = err(FlowDPMSolver(total_steps=1000, respace_steps=160))
+    assert e_160 < e_40 / 6.0         # superlinear (measured ~10x)
+    e_q28 = err(FlowDPMSolver(total_steps=1000, respace_steps=28,
+                              respace_type="quad"))
+    assert e_q28 < 4e-3
+
+
+def test_nfe_is_one_call_per_step(x_init):
+    calls = {"n": 0}
+
+    def model(x, t, **kw):
+        calls["n"] += 1
+        return 0.1 * x
+
+    fm = FlowDPMSolver(total_steps=1000, respace_steps=7)
+    with jax.disable_jit():
+        fm.sample(model, x_init, jax.random.PRNGKey(0))
+    assert calls["n"] == 7
+
+
+def test_tape_finite_under_shift_and_quad():
+    for rt, shift in (("uniform", 1.0), ("uniform", 3.0), ("quad", 1.0)):
+        fm = FlowDPMSolver(total_steps=1000, respace_steps=12,
+                           respace_type=rt, time_shift=shift)
+        tape = fm.sampler_tape()
+        for k, v in tape.items():
+            assert np.isfinite(v).all(), (rt, shift, k)
+        # first and last rows are first-order re-anchorings
+        assert tape["dpm_c1"][0] == 1.0 and tape["dpm_c2"][0] == 0.0
+        assert tape["dpm_c1"][-1] == 1.0 and tape["dpm_c2"][-1] == 0.0
+        assert tape["dpm_sigma_ratio"][-1] == 0.0  # final step: pure x0
+
+
+def test_partial_entry_restarts_first_order(x_init):
+    """SDEdit-style start_step entry: the first executed row must not use a
+    multistep weight whose history never ran."""
+    model = _gaussian_velocity(0.8)
+    fm = FlowDPMSolver(total_steps=1000, respace_steps=16)
+    final, ys = fm.sample_loop(model, x_init, jax.random.PRNGKey(0),
+                               collect=("sample", "pred_x0"), start_step=5)
+    assert np.isfinite(np.asarray(final)).all()
+    assert ys["sample"].shape[0] == 11
+
+
+def test_cfg_scale_one_equals_cond_only(x_init):
+    """s=1: (1-s) v_uncond + s v_cond == v_cond — CFG must reduce to the
+    plain solver on the conditional branch."""
+    w = jnp.asarray(np.random.RandomState(3).randn(3, 3), jnp.float32)
+
+    def model(x, t, y=None, **kw):
+        u = (t / 1000.0).reshape((-1,) + (1,) * (x.ndim - 1))
+        base = _gaussian_velocity(0.5)(x, t)
+        return base + 0.1 * (x @ w) * (1 - u) * y.reshape(-1, 1, 1, 1)
+
+    y = jnp.ones((4,), jnp.float32)
+    null = jnp.zeros((4,), jnp.float32)
+    got = FlowDPMSolverCFG(guidance_scale=1.0, total_steps=1000,
+                           respace_steps=12).sample(
+        model, x_init, jax.random.PRNGKey(0),
+        uncond_conditioning=null, model_kwargs={"y": y})
+    want = FlowDPMSolver(total_steps=1000, respace_steps=12).sample(
+        lambda x, t, **kw: model(x, t, y=y), x_init, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_registry_and_solver_arg_guard():
+    from dmtpu.utils.config import instantiate_from_config
+
+    d = instantiate_from_config({
+        "target": "diffusions.flow_dpm.FlowDPMSolverCFG",
+        "params": {"guidance_scale": 3.0, "total_steps": 1000,
+                   "respace_steps": 8, "time_shift": 3.0}})
+    assert isinstance(d, FlowDPMSolverCFG) and d.guidance_scale == 3.0
+    with pytest.raises(ValueError, match="solver"):
+        FlowDPMSolver(total_steps=1000, solver="heun")
+    FlowDPMSolver(total_steps=1000, solver="dpm")  # accepted alias
+
+
+def test_sample_uncond_flowdpm_seam():
+    """sample_uncond --sampler flowdpm builds a FlowDPMSolver even over a
+    flow config that pins solver: heun, and rejects --flow_solver."""
+    import importlib
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.join(repo, "scripts") not in sys.path:
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+    sample_uncond = importlib.import_module("sample_uncond")
+    from dmtpu.utils.config import Config
+
+    assert sample_uncond.COMPATIBLE_SAMPLER_MODE["flowdpm"] == [
+        "sample", "denoise", "progressive", "interpolate"]
+    parser = sample_uncond.get_parser()
+    conf = Config({"diffusion": {"params": {"solver": "heun",
+                                            "respace_steps": 5,
+                                            "time_shift": 2.0}}})
+    base = ["-c", "x.yaml", "--n_samples", "1", "--weights", "w",
+            "--save_dir", "s", "--sampler", "flowdpm"]
+    d = sample_uncond.build_diffuser(parser.parse_args(base), conf)
+    assert isinstance(d, FlowDPMSolver)
+    assert d.time_shift == 2.0  # config's shift survives
+    with pytest.raises(SystemExit, match="flow_solver"):
+        sample_uncond.build_diffuser(
+            parser.parse_args(base + ["--flow_solver", "euler"]), conf)

@@ -89,6 +89,13 @@ def test_demo_prompt_and_gate(tmp_path, monkeypatch):
                               "--save_dir", str(out), "--n_samples", "2",
                               "--batch_size", "2", "--guidance_scale", "1.0"])
     assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+    # FlowDPM multistep through the CLI, CFG branch (FlowDPMSolverCFG)
+    out2 = tmp_path / "demo_dpm"
+    _run_sample(monkeypatch, ["-c", cfg, "--prompt", "a tiny square",
+                              "--save_dir", str(out2), "--n_samples", "2",
+                              "--batch_size", "2", "--solver", "dpm",
+                              "--respace_steps", "4"])
+    assert sorted(os.listdir(out2)) == ["0.png", "1.png"]
     # pseudo-embeddings with a real checkpoint are rejected (sample_sd rule)
     fake = tmp_path / "w.npz"
     from dmtpu.models.mmdit import MMDiT

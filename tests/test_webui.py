@@ -146,16 +146,20 @@ def test_webui_flow_config_gates_samplers(app_mod, tmp_path):
         (jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)))
 
     app = app_mod.App(conf, weights)
-    assert app.samplers == ("flow",)
+    assert app.samplers == ("flow", "flowdpm")
     server, port = _serve(app_mod, app)
     try:
         status, body = _get(port, "/")
         assert "<option>flow</option>" in body
+        assert "<option>flowdpm</option>" in body
         assert "<option>ddim</option>" not in body
         # default sampler (no query param) must be the flow family, not ddim
         status, body = _get(port, "/sample?steps=4&n=2&seed=1")
         assert status == 200 and "data:image/png;base64," in body, body[:500]
         status, body = _get(port, "/sample?sampler=ddpm&steps=4&n=2&seed=1")
         assert status == 200 and "does not match" in body
+        # FlowDPM (2nd-order multistep) through the same page
+        status, body = _get(port, "/sample?sampler=flowdpm&steps=4&n=2&seed=1")
+        assert status == 200 and "data:image/png;base64," in body, body[:500]
     finally:
         server.shutdown()

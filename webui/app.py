@@ -36,12 +36,14 @@ import numpy as np  # noqa: E402
 
 from dmtpu.diffusions import (  # noqa: E402
     DDIM, DDPM, DDIMCFG, DDPMCFG, DPMSolverPP, DPMSolverPPCFG, EulerSampler,
-    FlowMatching, FlowMatchingCFG, HeunSampler, PFDiffDDIM, PFDiffDDIMCFG)
+    FlowDPMSolver, FlowDPMSolverCFG, FlowMatching, FlowMatchingCFG,
+    HeunSampler, PFDiffDDIM, PFDiffDDIMCFG)
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.image import make_grid, to_pil  # noqa: E402
 
 SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}
+            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching,
+            "flowdpm": FlowDPMSolver}
 
 PAGE = """<!doctype html>
 <html><head><title>dmtpu sampler</title><style>
@@ -88,7 +90,7 @@ class App:
         # as a velocity, the DDPM family as eps/x0 — crossing them produces
         # silently meaningless images.  Offer only the matching family.
         self.is_flow = "flow" in str(self.conf.diffusion.get("target", "")).lower()
-        self.samplers = (("flow",) if self.is_flow else
+        self.samplers = (("flow", "flowdpm") if self.is_flow else
                          ("ddpm", "ddim", "euler", "heun", "dpmpp", "pfdiff"))
         self.lock = threading.Lock()
         # bounded FIFO of compiled samplers: each distinct (sampler, steps,
@@ -117,7 +119,8 @@ class App:
         if key not in self._cache:
             if y >= 0 and self.cond:
                 cls = {"ddim": DDIMCFG, "dpmpp": DPMSolverPPCFG,
-                       "pfdiff": PFDiffDDIMCFG, "flow": FlowMatchingCFG}.get(sampler, DDPMCFG)
+                       "pfdiff": PFDiffDDIMCFG, "flow": FlowMatchingCFG,
+                       "flowdpm": FlowDPMSolverCFG}.get(sampler, DDPMCFG)
                 diffuser = cls(guidance_scale=gs, **dp)
 
                 def fn(p, noise, k, yy):
