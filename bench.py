@@ -161,6 +161,7 @@ def main():
 
     from train_northstar import (
         dit_train_metrics,
+        mmdit_train_metrics,
         sd15_lora_train_metrics,
         sd15_train_metrics,
     )
@@ -222,6 +223,57 @@ def main():
                                        batch=SD_BATCH, interval=2, skip=3)
         return {"sd15_tome_pfdiff_deepcache_samples_per_sec": round(sps, 3)}
 
+    def cfg_stack():
+        # the realistic text2img serving figure (VERDICT r4 #2): the MAX
+        # composed stack sample_sd.py ships and tests — ToMe 0.5 x
+        # FreeU(sd15) x PFDiff-1 (DDIM-50 grid, 26 NFE) x DeepCache(2,3),
+        # under CFG s=7.5 as ONE 2B-batched call per model evaluation with
+        # the eps-combine in the deepcache seam (scripts/sample_sd.py's
+        # deepcache branch; interval-CFG is rejected with deepcache there,
+        # so this is the full composable set)
+        import jax
+        import jax.numpy as jnp
+
+        from dmtpu.diffusions import PFDiffDDIM
+        from dmtpu.diffusions.deepcache import pfdiff_deepcache_sample
+        from dmtpu.ops.freeu import SD15_DEFAULTS
+
+        stk, stk_init, _ = build_sd15_unet(tome_ratio=0.5, freeu=SD15_DEFAULTS)
+        b = SD_BATCH // 2  # 2B-batched CFG doubles the model batch
+        s = 7.5
+        diffuser = PFDiffDDIM(total_steps=1000, respace_type="uniform",
+                              respace_steps=50)
+        ctx = jax.random.normal(jax.random.PRNGKey(3), (b, 77, 768))
+        ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)])
+
+        def cfg_combine(out2, xc, c):
+            oc, ou = jnp.split(out2, 2, axis=0)
+            eps_c = diffuser.predict(oc, xc, c)["pred_eps"]
+            eps_u = diffuser.predict(ou, xc, c)["pred_eps"]
+            return (1.0 - s) * eps_u + s * eps_c
+
+        @jax.jit
+        def sample(p, noise, key):
+            del key  # PFDiff is deterministic
+
+            def raw_out(x, t, dc_kw):
+                return stk.apply(p, jnp.concatenate([x, x]),
+                                 jnp.concatenate([t, t]), ctx2, **dc_kw)
+
+            def full_fn(x, t):
+                return raw_out(x, t, dict(dc_skip=3))
+
+            def shallow_fn(x, t, u):
+                return raw_out(x, t, dict(dc_skip=3, dc_cached=u))[0]
+
+            return pfdiff_deepcache_sample(diffuser, full_fn, shallow_fn,
+                                           noise, interval=2,
+                                           eps_fn=cfg_combine)
+
+        sps, _ = _time_sample_fn(sample, stk_init, 64, b, reps=5)
+        return {"sd15_cfg_stack_samples_per_sec": round(sps, 3),
+                "sd15_cfg_stack": "tome0.5+freeu+pfdiff+deepcache23+cfg7.5"}
+
     soft("sd15_dpmpp", dpmpp)
     soft("sd15_pfdiff", pfdiff)
     soft("sd15_deepcache", deepcache)
@@ -229,11 +281,18 @@ def main():
     soft("sd15_tome", tome)
     soft("sd15_tome_stack", tome_stack)
     soft("sd15_cfg_serving", cfg_serving)
+    soft("sd15_cfg_stack", cfg_stack)
     soft("dit", dit)
     soft("sdxl", sdxl)
+    # sd15_train_tome50 is the measured-best SD train config (round 5:
+    # ToMe x flash_small_d compose at 31.75 img/s b16 = 38.1% MFU); the
+    # plain variant stays as the like-for-like reference-config number
     soft("sd15_train", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH))
+    soft("sd15_train_tome", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH,
+                                                       tome_ratio=0.5))
     soft("sd15_lora_train", sd15_lora_train_metrics)
     soft("dit_train", lambda: dit_train_metrics(batch=DIT_TRAIN_BATCH))
+    soft("mmdit_train", mmdit_train_metrics)
 
     payload = {
         "metric": "DDIM-50 SD1.5 512x512 sampling throughput",

@@ -45,18 +45,20 @@ A100_BASELINE_SDXL = 0.18
 V5E_PEAK_TFLOPS = 197.0
 
 
-def build_sd15_unet(dtype=jnp.bfloat16, tome_ratio: float = 0.0):
+def build_sd15_unet(dtype=jnp.bfloat16, tome_ratio: float = 0.0, freeu=None):
     """SD1.5 UNet per reference weights/stablediffusion/v1-inference.yaml.
 
     ``tome_ratio>0`` enables Token Merging at the 64x64 attention level
-    (dmtpu/ops/tome.py; serving-only, params identical to the baseline)."""
+    (dmtpu/ops/tome.py; serving-only, params identical to the baseline);
+    ``freeu`` takes the (b1, b2, s1, s2) scales (dmtpu/ops/freeu.py;
+    serving-only quality knob, also param-free)."""
     from dmtpu.models.stablediffusion.unet import SDUNetModel
 
     model = SDUNetModel(
         in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         use_spatial_transformer=True, transformer_depth=1, context_dim=768,
-        legacy=False, torso_dtype=dtype, tome_ratio=tome_ratio)
+        legacy=False, torso_dtype=dtype, tome_ratio=tome_ratio, freeu=freeu)
 
     def init(rng, batch):
         x = jnp.zeros((batch, 64, 64, 4))

@@ -52,7 +52,12 @@ def _time_step(step_fn, state, batch, rng, reps):
     return min(times)
 
 
-def sd15_train_metrics(batch: int = 8, reps: int = 3) -> dict:
+def sd15_train_metrics(batch: int = 8, reps: int = 3,
+                       tome_ratio: float = 0.0) -> dict:
+    """``tome_ratio>0`` trains THROUGH Token Merging (differentiable — the
+    indices are compile-time constants): merged self-attention at the 64x64
+    level composes with the flash_small_d training kernel at S=2048
+    (round-5 chip measurement: 27.4 -> 31.75 img/s b16, 38.1% MFU)."""
     from dmtpu.diffusions import DDPM
     from dmtpu.models.stablediffusion.unet import SDUNetModel
     from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step
@@ -62,7 +67,8 @@ def sd15_train_metrics(batch: int = 8, reps: int = 3) -> dict:
         in_channels=4, model_channels=320, out_channels=4, num_res_blocks=2,
         attention_resolutions=(4, 2, 1), channel_mult=(1, 2, 4, 4), num_heads=8,
         use_spatial_transformer=True, transformer_depth=1, context_dim=768,
-        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=True)
+        legacy=False, torso_dtype=jnp.bfloat16, use_checkpoint=True,
+        tome_ratio=tome_ratio)
 
     def apply_fn(p, x, t, rngs=None, context=None, **kw):
         return model.apply(p, x, t, context)
@@ -81,13 +87,17 @@ def sd15_train_metrics(batch: int = 8, reps: int = 3) -> dict:
                                             (batch, 77, 768))}
     dt = _time_step(step_fn, state, batch_d, rng, reps)
     ips = batch / dt
+    tag = "sd15_train_tome50" if tome_ratio else "sd15_train"
     return {
-        "sd15_train_imgs_per_sec": round(ips, 3),
-        "sd15_train_batch": batch,
-        "sd15_train_mfu_v5e": round(
+        f"{tag}_imgs_per_sec": round(ips, 3),
+        f"{tag}_batch": batch,
+        # MFU uses the full-model forward FLOPs for BOTH variants so the
+        # two numbers are hardware-throughput-comparable (ToMe does fewer
+        # useful FLOPs per image; its MFU is therefore "effective")
+        f"{tag}_mfu_v5e": round(
             ips * 3.0 * SD15_GFLOPS_PER_STEP / (V5E_PEAK_TFLOPS * 1e3), 3),
-        "sd15_train_vs_a100_baseline": round(ips / A100_BASELINE_SD15_TRAIN, 3),
-        "sd15_train_optimizer": "adafactor",
+        f"{tag}_vs_a100_baseline": round(ips / A100_BASELINE_SD15_TRAIN, 3),
+        f"{tag}_optimizer": "adafactor",
     }
 
 
@@ -178,4 +188,62 @@ def dit_train_metrics(batch: int = 32, reps: int = 3) -> dict:
             ips * 3.0 * DIT_XL2_GFLOPS_PER_STEP / (V5E_PEAK_TFLOPS * 1e3), 3),
         "dit_train_vs_a100_baseline": round(ips / A100_BASELINE_DIT_TRAIN, 3),
         "dit_train_optimizer": "adafactor(noremat)",
+    }
+
+
+def mmdit_train_metrics(batch: int = 128, size: str = "MMDiT-B/2",
+                        reps: int = 3, ctx_len: int = 77) -> dict:
+    """MMDiT (SD3-class) rectified-flow train step — the round-4 flagship
+    family's scoreboard entry (VERDICT r4 #2: unmeasured flagship =
+    invisible flagship).
+
+    Measured-best single-chip config (round-5 probe sweep,
+    benchmarks/train_probe.py mmditb*): B/2 at batch 128 WITHOUT remat —
+    batch scaling was the real MFU lever (b32 29.8% -> b128 36.6%); the
+    lane-aligned ctx=128 grid raised padded-MFU but LOWERED real imgs/s,
+    so the true 77-token context stays.  Forward FLOPs are XLA-counted
+    (cost_analysis), so MFU is honest for any size/ctx.  No A100 baseline
+    key: the reference has no MMDiT and no published SD3-class training
+    throughput exists for this exact config — MFU is the comparable number.
+    """
+    from dmtpu.diffusions import FlowMatching
+    from dmtpu.models.mmdit import mmdit_model
+    from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step
+    from dmtpu.utils import optim as optim_lib
+
+    model = mmdit_model(size, input_size=32, in_channels=4,
+                        context_dim=4096, pooled_dim=2048,
+                        dtype=jnp.bfloat16, use_checkpoint=False,
+                        prefer_flash=True)
+
+    def apply_fn(p, x, t, rngs=None, context=None, pooled=None, **kw):
+        drop = None if rngs is None else rngs.get("dropout")
+        return model.apply(p, x, t, {"context": context, "pooled": pooled},
+                           train=True, force_drop_rng=drop)
+
+    tx = optim_lib.adafactor(lr=1e-4)
+    loss_fn = make_diffusion_loss_fn(FlowMatching(total_steps=1000), apply_fn,
+                                     total_steps=1000)
+    step_fn = make_train_step(loss_fn, tx, clip_grad_norm=1.0)
+    rng = jax.random.PRNGKey(0)
+    y0 = {"context": jnp.zeros((1, ctx_len, 4096)), "pooled": jnp.zeros((1, 2048))}
+    params = jax.jit(lambda r: model.init(
+        r, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,)), y0))(rng)
+    fwd = jax.jit(lambda p: model.apply(p, jnp.zeros((1, 32, 32, 4)),
+                                        jnp.zeros((1,)), y0))
+    fwd_gflops = float(fwd.lower(params).compile().cost_analysis()["flops"]) / 1e9
+    state = TrainState.create(params, tx, ema_decay=None)
+    batch_d = {"image": jax.random.normal(rng, (batch, 32, 32, 4)),
+               "context": jax.random.normal(rng, (batch, ctx_len, 4096)),
+               "pooled": jax.random.normal(rng, (batch, 2048))}
+    dt = _time_step(step_fn, state, batch_d, rng, reps)
+    ips = batch / dt
+    return {
+        "mmdit_train_imgs_per_sec": round(ips, 3),
+        "mmdit_train_batch": batch,
+        "mmdit_train_size": size,
+        "mmdit_train_fwd_gflops": round(fwd_gflops, 1),
+        "mmdit_train_mfu_v5e": round(
+            ips * 3.0 * fwd_gflops / (V5E_PEAK_TFLOPS * 1e3), 3),
+        "mmdit_train_optimizer": "adafactor",
     }

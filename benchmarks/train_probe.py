@@ -216,11 +216,11 @@ def sd15_conv_only(batch):
     }), flush=True)
 
 
-def dit(batch, opt="adamw_bf16mu", remat=True):
+def dit(batch, opt="adamw_bf16mu", remat=True, size="DiT-XL/2"):
     from northstar import DIT_XL2_GFLOPS_PER_STEP
     from dmtpu.models.dit import dit_model
 
-    model = dit_model("DiT-XL/2", input_size=32, dtype=jnp.bfloat16,
+    model = dit_model(size, input_size=32, dtype=jnp.bfloat16,
                       use_checkpoint=remat, learn_sigma=False)
 
     def init_fn(rng):
@@ -253,9 +253,19 @@ def dit(batch, opt="adamw_bf16mu", remat=True):
         _ = float(metrics["loss"])
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    model_tf_per_img = 3.0 * DIT_XL2_GFLOPS_PER_STEP / 1e3
+    if size == "DiT-XL/2":
+        gflops = DIT_XL2_GFLOPS_PER_STEP
+    else:
+        # XLA-counted forward cost at batch 1, like the mmdit probe — the
+        # size-class-fair MFU baseline (e.g. DiT-B/2 vs MMDiT-B/2)
+        fwd = jax.jit(lambda p: model.apply(
+            p, jnp.zeros((1, 32, 32, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32)))
+        gflops = float(fwd.lower(params).compile()
+                       .cost_analysis()["flops"]) / 1e9
+    model_tf_per_img = 3.0 * gflops / 1e3
     print(json.dumps({
-        "label": f"dit_train_b{batch}_{opt}"
+        "label": f"dit_train_{size.replace('/', '')}_b{batch}_{opt}"
         + (f"_remat-{remat}" if isinstance(remat, str)
            else ("" if remat else "_noremat")),
         "batch": batch,
@@ -451,3 +461,10 @@ if __name__ == "__main__":
         mmdit(32, size="MMDiT-L/2", bf16_params=True, remat="attn")
     if which == "mmditl64bf16p":
         mmdit(64, size="MMDiT-L/2", bf16_params=True)
+    if which == "ditb128nr":
+        # size-class-fair MFU control for MMDiT-B/2 (same 768-wide, depth-12
+        # class; adafactor like the mmdit probes): is the MMDiT-vs-DiT MFU
+        # gap the two-stream architecture or just the model size?
+        dit(128, size="DiT-B/2", remat=False, opt="adafactor")
+    if which == "ditb32nr":
+        dit(32, size="DiT-B/2", remat=False, opt="adafactor")
