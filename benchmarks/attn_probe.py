@@ -227,3 +227,13 @@ if __name__ == "__main__":
         nm = f"smalld_q{int(bq)}k{int(bk)}"
         probe(16, 1024, 8, 80, which=("xla", "flash", nm),
               grad_which=("flash", nm), bq=int(bq), bk=int(bk))
+    # --- MMDiT-B/2 joint attention (round 5): [ctx 77 | image 256] = S 333,
+    # h=12, d=64, at the measured-best train batch.  The ragged S=333 is not
+    # 8-sublane aligned; the 384 variant quantifies what padding to the next
+    # lane-aligned length would buy (if XLA's padded matmuls at 384 run
+    # enough faster to cover the +33% flops, pad; else the gap is
+    # elsewhere). XLA-only: the flash gates reject S%128!=0 here anyway.
+    if which == "mmditb":
+        probe(128, 333, 12, 64, which=("xla",), grad_which=("xla",))
+    if which == "mmditb384":
+        probe(128, 384, 12, 64, which=("xla",), grad_which=("xla",))

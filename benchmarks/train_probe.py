@@ -451,6 +451,16 @@ if __name__ == "__main__":
         mmdit(32, size="MMDiT-B/2", remat=False, opt="adamw_bf16mu")
     if which == "mmditb32nrnoqk":
         mmdit(32, size="MMDiT-B/2", remat=False, qk_norm=False)
+    if which == "mmditb128nrnoqk":
+        # qk-norm price at the measured-best batch (b128)
+        mmdit(128, size="MMDiT-B/2", remat=False, qk_norm=False)
+    if which == "mmditb128nrbf16p":
+        # bf16 torso params at the best batch: halves param/grad HBM traffic
+        # in the optimizer epilogue — a possible MFU lever, not just a
+        # memory one
+        mmdit(128, size="MMDiT-B/2", remat=False, bf16_params=True)
+    if which == "mmditb256nrbf16p":
+        mmdit(256, size="MMDiT-B/2", remat=False, bf16_params=True)
     if which == "mmditl8bf16p":
         mmdit(8, size="MMDiT-L/2", bf16_params=True)
     if which == "mmditl16bf16p":
