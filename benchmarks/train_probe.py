@@ -393,6 +393,14 @@ if __name__ == "__main__":
         sd15(16, tome_ratio=0.5)
     if which == "sd16attntome":
         sd15(16, remat="attn", tome_ratio=0.5)
+    if which == "sd16nrtome":  # round 5: ToMe halves the S=4096 activations
+        sd15(16, remat=False, tome_ratio=0.5)  # (plain b16 noremat OOMs)
+    if which == "sd24tome":
+        sd15(24, tome_ratio=0.5)
+    if which == "sd32tome":
+        sd15(32, tome_ratio=0.5)
+    if which == "sd24attntome":
+        sd15(24, remat="attn", tome_ratio=0.5)
     if which == "sd8attn":
         sd15(8, remat="attn")
     if which == "sd16attnema":

@@ -87,8 +87,12 @@ def diffusion_params(args, conf, **extra):
     return params
 
 
-def load_model_params(path: str, model, sample_args):
-    """orbax train-state dir (EMA), .npz export, or torch checkpoint."""
+def load_model_params(path: str, model, sample_args, converter=None):
+    """orbax train-state dir (EMA), .npz export, or torch checkpoint.
+
+    ``converter`` overrides the torch-branch key mapping (default:
+    structural matching); e.g. sample_mmdit passes ``convert_mmdit`` for
+    the SD3-release layout."""
     if os.path.isdir(path):
         from dmtpu.utils import checkpoint as ckpt_lib
 
@@ -101,7 +105,7 @@ def load_model_params(path: str, model, sample_args):
         return jax.tree.map(jnp.asarray, data["params"].item())
     sd = load_torch_weights(path)
     init = jax.eval_shape(model.init, jax.random.PRNGKey(0), *sample_args)
-    return convert_by_structure(sd, init)
+    return jax.tree.map(jnp.asarray, (converter or convert_by_structure)(sd, init))
 
 
 def image_shape(conf):

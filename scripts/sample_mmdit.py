@@ -43,14 +43,14 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from dmtpu.convert import convert_mmdit, load_torch_weights  # noqa: E402
+from dmtpu.convert import convert_mmdit  # noqa: E402
 from dmtpu.diffusions import (FlowDPMSolver, FlowDPMSolverCFG,  # noqa: E402
                               FlowMatching, FlowMatchingCFG)
 from dmtpu.utils.config import instantiate_from_config  # noqa: E402
 from dmtpu.utils.image import save_image  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
 from dmtpu.utils.misc import amortize  # noqa: E402
-from _common import DataParallelSampler, load_conf  # noqa: E402
+from _common import DataParallelSampler, load_conf, load_model_params  # noqa: E402
 
 
 def get_parser():
@@ -85,24 +85,16 @@ def get_parser():
 
 
 def _load_params(path, model, init_args, logger):
-    """orbax dir (EMA) / .npz export / SD3 torch checkpoint / None (demo)."""
+    """orbax dir (EMA) / .npz export / SD3 torch checkpoint / None (demo).
+
+    Checkpoint-layout logic lives in _common.load_model_params; this only
+    adds the random-init demo branch and the SD3-specific key mapping."""
     if path is None:
         logger.warning("no --weights: RANDOM init (demo mode)")
         return jax.jit(model.init)(jax.random.PRNGKey(0), *init_args)
-    if os.path.isdir(path):
-        from dmtpu.utils import checkpoint as ckpt_lib
-
-        state = ckpt_lib.load_checkpoint(path)
-        if isinstance(state, dict) and state.get("ema"):
-            return {"params": state["ema"]["shadow"]["params"]}
-        return {"params": state["params"]["params"]}
-    if path.endswith(".npz"):
-        data = dict(np.load(path, allow_pickle=True))
-        return jax.tree.map(jnp.asarray, data["params"].item())
-    sd = load_torch_weights(path)
-    logger.info(f"Converting {len(sd)} tensors through convert_mmdit")
-    init = jax.eval_shape(model.init, jax.random.PRNGKey(0), *init_args)
-    return jax.tree.map(jnp.asarray, convert_mmdit(sd, init))
+    if not (os.path.isdir(path) or path.endswith(".npz")):
+        logger.info(f"Converting {path} through convert_mmdit")
+    return load_model_params(path, model, init_args, converter=convert_mmdit)
 
 
 def _conditioning(args, conf, model, logger):

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from dmtpu.diffusions import (
-    DDIM, DDPM, DPMSolverPP, EulerSampler, FlowMatching, HeunSampler, PFDiffDDIM)
+    DDIM, DDPM, DPMSolverPP, EulerSampler, FlowDPMSolver, FlowMatching,
+    HeunSampler, PFDiffDDIM)
 from dmtpu.utils.config import instantiate_from_config, load_config
 from dmtpu.utils.image import make_grid, to_pil
 
@@ -24,8 +25,13 @@ CONFIG = os.environ.get("DMTPU_CONFIG", "configs/ddpm_cifar10.yaml")
 WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
 # optional: directory scanned into a Model dropdown (reference :141-148)
 WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
-SAMPLERS = {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler, "heun": HeunSampler,
-            "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM, "flow": FlowMatching}
+# A flow/velocity-trained checkpoint and an eps-trained one are not
+# sampler-interchangeable (same gate as webui/app.py): offer only the
+# family matching the config's diffusion target.
+IS_FLOW = "flow" in str(load_config(CONFIG).diffusion.get("target", "")).lower()
+SAMPLERS = ({"flow": FlowMatching, "flowdpm": FlowDPMSolver} if IS_FLOW else
+            {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler,
+             "heun": HeunSampler, "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM})
 
 
 @st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
@@ -53,8 +59,12 @@ if WEIGHTS_DIR:
 sampler = st.selectbox("Sampler", list(SAMPLERS))
 steps = st.slider("Sampling steps", 5, 1000, 50)
 var_type = st.selectbox("Variance", ["fixed_small", "fixed_large", "learned_range"])
+# the flow family names its step grids differently (flow.py _UNIFORM_TYPES;
+# "uniform-linspace" is eps-family-only and rejected by FlowMatching)
 respace_type = st.selectbox(
-    "Respace type", ["uniform-linspace", "uniform-leading", "uniform-trailing"])
+    "Respace type",
+    ["uniform", "uniform-leading", "uniform-trailing", "quad"] if IS_FLOW else
+    ["uniform-linspace", "uniform-leading", "uniform-trailing"])
 n = st.slider("Batch size", 1, 64, 16)
 batch_count = st.slider("Batch count", 1, 8, 1)
 seed = st.number_input("Seed", value=-1, min_value=-1, max_value=2**32 - 1,
@@ -73,6 +83,9 @@ if st.button("Sample"):
         dp = dict(conf.diffusion.get("params", {}))
         dp.pop("device", None)
         dp.update(respace_type=respace_type, respace_steps=steps, var_type=var_type)
+        if sampler == "flowdpm":
+            # flow configs pin solver: euler/heun; FlowDPMSolver IS the solver
+            dp["solver"] = "dpm"
         diffuser = SAMPLERS[sampler](**dp)
 
         @jax.jit

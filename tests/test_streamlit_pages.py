@@ -38,6 +38,7 @@ class _Stub:
         self.session_state = {}
         self.images = []
         self.warnings = []
+        self.selectboxes = {}  # label -> options offered (gating assertions)
 
     def cache_resource(self, fn=None, **kw):
         if fn is None:
@@ -53,6 +54,7 @@ class _Stub:
         return value if value is not None else mn
 
     def selectbox(self, label, options, index=0, **k):
+        self.selectboxes[label] = list(options)
         if label in self.overrides:
             return self.overrides[label]
         return options[index]
@@ -155,6 +157,39 @@ def test_uncond_page_generates_image(monkeypatch, tmp_path):
     assert len(st.images) == 1
     img = np.asarray(st.images[0])
     assert img.ndim == 3 and img.shape[-1] == 3  # a grid image was produced
+
+
+def test_uncond_page_flow_family_gate_and_flowdpm(monkeypatch, tmp_path):
+    """A flow-trained config must (a) offer ONLY the flow-family samplers,
+    (b) offer flow-valid respace grids (not the eps-only uniform-linspace),
+    and (c) run flowdpm even though the config pins solver: euler — the
+    same family gate + solver override as webui/app.py."""
+    import yaml
+
+    from dmtpu.models import UNet
+    from tests._tiny_fixtures import (save_npz_params, tiny_uncond_config,
+                                      write_yaml)
+
+    import jax.numpy as jnp
+
+    base = tiny_uncond_config(tmp_path / "base.yaml")
+    conf_d = yaml.safe_load(open(base))
+    conf_d["diffusion"] = {"target": "diffusions.flow.FlowMatching",
+                           "params": {"total_steps": 100, "solver": "euler"}}
+    conf = write_yaml(tmp_path / "conf.yaml", conf_d)
+    model = UNet(in_channels=3, out_channels=3, dim=32, dim_mults=(1, 2),
+                 use_attn=(False, True), num_res_blocks=1, n_heads=1)
+    weights = save_npz_params(
+        tmp_path / "w.npz", model,
+        (jnp.zeros((1, 8, 8, 3)), jnp.zeros((1,), jnp.int32)))
+
+    st = _run_page(
+        _page("1_Unconditional"), monkeypatch, button=True,
+        overrides={"Sampling steps": 5, "Batch size": 4, "Sampler": "flowdpm"},
+        env={"DMTPU_CONFIG": conf, "DMTPU_WEIGHTS": weights})
+    assert st.selectboxes["Sampler"] == ["flow", "flowdpm"]
+    assert "uniform-linspace" not in st.selectboxes["Respace type"]
+    assert len(st.images) == 1
 
 
 def test_cfg_page_generates_image(monkeypatch, tmp_path):

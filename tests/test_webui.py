@@ -86,8 +86,10 @@ def test_webui_uncond_sample_roundtrip(app_mod, tmp_path):
         assert status == 200 and "data:image/png;base64," not in body
         assert "does not match" in body, body[:500]
         status, body = _get(port, "/")
-        assert "<option>flow</option>" not in body
-        assert "<option>ddim</option>" in body
+        assert ">flow</option>" not in body
+        # ddim stays the preselected default for eps checkpoints (a bare
+        # /sample request must not silently become stochastic ddpm)
+        assert "<option selected>ddim</option>" in body
         with pytest.raises(urllib.error.HTTPError) as exc:
             _get(port, "/nope")
         assert exc.value.code == 404
@@ -136,8 +138,11 @@ def test_webui_flow_config_gates_samplers(app_mod, tmp_path):
 
     base = tiny_uncond_config(tmp_path / "base.yaml")
     conf_d = yaml.safe_load(open(base))
+    # shipped flow configs pin their ODE integrator (solver: euler); the
+    # flowdpm route must override it rather than forward it into
+    # FlowDPMSolver (which rejects any other solver value)
     conf_d["diffusion"] = {"target": "diffusions.flow.FlowMatching",
-                           "params": {"total_steps": 100}}
+                           "params": {"total_steps": 100, "solver": "euler"}}
     conf = write_yaml(tmp_path / "conf.yaml", conf_d)
     model = UNet(in_channels=3, out_channels=3, dim=32, dim_mults=(1, 2),
                  use_attn=(False, True), num_res_blocks=1, n_heads=1)
@@ -150,9 +155,9 @@ def test_webui_flow_config_gates_samplers(app_mod, tmp_path):
     server, port = _serve(app_mod, app)
     try:
         status, body = _get(port, "/")
-        assert "<option>flow</option>" in body
+        assert "<option selected>flow</option>" in body
         assert "<option>flowdpm</option>" in body
-        assert "<option>ddim</option>" not in body
+        assert ">ddim</option>" not in body
         # default sampler (no query param) must be the flow family, not ddim
         status, body = _get(port, "/sample?steps=4&n=2&seed=1")
         assert status == 200 and "data:image/png;base64," in body, body[:500]

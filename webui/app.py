@@ -92,6 +92,9 @@ class App:
         self.is_flow = "flow" in str(self.conf.diffusion.get("target", "")).lower()
         self.samplers = (("flow", "flowdpm") if self.is_flow else
                          ("ddpm", "ddim", "euler", "heun", "dpmpp", "pfdiff"))
+        # a bare /sample request keeps the historical deterministic default
+        # (DDIM) for eps checkpoints rather than samplers[0] == ddpm
+        self.default_sampler = "flow" if self.is_flow else "ddim"
         self.lock = threading.Lock()
         # bounded FIFO of compiled samplers: each distinct (sampler, steps,
         # var_type, cond, gs) combination bakes a new jitted reverse scan —
@@ -101,7 +104,9 @@ class App:
         self._cache_max = 8
 
     def page(self, body: str) -> str:
-        opts = "".join(f"<option>{s}</option>" for s in self.samplers)
+        opts = "".join(
+            f'<option{" selected" if s == self.default_sampler else ""}>{s}</option>'
+            for s in self.samplers)
         return PAGE.format(sampler_options=opts, body=body)
 
     def sample(self, sampler: str, steps: int, var_type: str, n: int, seed: int,
@@ -115,6 +120,10 @@ class App:
         dp = dict(self.conf.diffusion.get("params", {}))
         dp.pop("device", None)
         dp.update(respace_type="uniform", respace_steps=steps, var_type=var_type)
+        if sampler == "flowdpm":
+            # flow configs pin their ODE integrator (solver: euler/heun);
+            # FlowDPMSolver IS the solver and rejects any other value
+            dp["solver"] = "dpm"
         key = (sampler, steps, var_type, y >= 0, gs)
         if key not in self._cache:
             if y >= 0 and self.cond:
@@ -160,7 +169,7 @@ def make_handler(app: App):
                 try:
                     with app.lock:
                         imgs = app.sample(
-                            q.get("sampler", app.samplers[0]), int(q.get("steps", 50)),
+                            q.get("sampler", app.default_sampler), int(q.get("steps", 50)),
                             q.get("var_type", "fixed_small"), int(q.get("n", 16)),
                             int(q.get("seed", 0)), int(q.get("y", -1)),
                             float(q.get("gs", 3.0)))
