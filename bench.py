@@ -82,7 +82,9 @@ SD_BATCH = 16
 DIT_BATCH = 32
 SDXL_BATCH = 1
 SD_TRAIN_BATCH = 16
+SD_TRAIN_TOME_BATCH = 32  # ToMe halves level-0 activations; b32 fits + wins
 DIT_TRAIN_BATCH = 32
+MMDIT_SAMPLE_BATCH = 32  # 2B-batched CFG doubles the model batch to 64
 
 
 def main():
@@ -209,6 +211,60 @@ def main():
             out[f"{label}_samples_per_sec"] = round(sps, 3)
         return out
 
+    def mmdit_sample():
+        # the flagship family's SERVING figure (its train figure is
+        # mmdit_train_*): MMDiT-B/2 256²-latent text2img, FlowDPM-20
+        # (DPM-Solver++(2M) in the rectified-flow parameterisation,
+        # dmtpu/diffusions/flow_dpm.py) under CFG s=4 as ONE 2B-batched
+        # call per step — the exact path scripts/sample_mmdit.py ships.
+        # MFU uses XLA-counted forward FLOPs (cost_analysis), x2 for CFG.
+        import jax
+        import jax.numpy as jnp
+
+        from dmtpu.diffusions import FlowDPMSolverCFG
+        from dmtpu.models.mmdit import mmdit_model
+
+        steps, b = 20, MMDIT_SAMPLE_BATCH
+        model = mmdit_model("MMDiT-B/2", input_size=32, in_channels=4,
+                            context_dim=4096, pooled_dim=2048,
+                            dtype=jnp.bfloat16)
+        ctx_len = 77
+        y = {"context": jax.random.normal(jax.random.PRNGKey(4),
+                                          (b, ctx_len, 4096)),
+             "pooled": jax.random.normal(jax.random.PRNGKey(5), (b, 2048))}
+
+        def init(rng, batch):
+            y1 = {"context": jnp.zeros((1, ctx_len, 4096)),
+                  "pooled": jnp.zeros((1, 2048))}
+            return model.init(rng, jnp.zeros((1, 32, 32, 4)),
+                              jnp.zeros((1,)), y1)
+
+        diffuser = FlowDPMSolverCFG(guidance_scale=4.0, total_steps=1000,
+                                    respace_steps=steps)
+        null_y = model.null_conditioning(b, ctx_len)
+
+        @jax.jit
+        def sample(p, noise, key):
+            return diffuser.sample(
+                lambda x, t, y=None, **kw: model.apply(p, x, t, y),
+                noise, key, uncond_conditioning=null_y, model_kwargs={"y": y})
+
+        sps, _ = _time_sample_fn(sample, init, 32, b, reps=5)
+        # XLA-counted fwd GFLOPs at batch 1 (honest for this ctx/size)
+        params = jax.jit(init)(jax.random.PRNGKey(0), 1)
+        y1 = {"context": jnp.zeros((1, ctx_len, 4096)),
+              "pooled": jnp.zeros((1, 2048))}
+        fwd = jax.jit(lambda p: model.apply(p, jnp.zeros((1, 32, 32, 4)),
+                                            jnp.zeros((1,)), y1))
+        gf = float(fwd.lower(params).compile().cost_analysis()["flops"]) / 1e9
+        return {
+            "mmdit_sample_samples_per_sec": round(sps, 3),
+            "mmdit_sample_batch": b,
+            "mmdit_sample_nfe": steps,
+            "mmdit_sample_mfu_v5e": round(mfu(sps, 2 * gf, steps=steps), 3),
+            "mmdit_sample_config": "MMDiT-B/2 flowdpm20 cfg4.0 2B-batched",
+        }
+
     def tome():
         # Token Merging ratio 0.5 at the 64x64 level (dmtpu/ops/tome.py):
         # straight DDIM-50, cheaper model calls (params identical)
@@ -288,11 +344,15 @@ def main():
     # ToMe x flash_small_d compose at 31.75 img/s b16 = 38.1% MFU); the
     # plain variant stays as the like-for-like reference-config number
     soft("sd15_train", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH))
-    soft("sd15_train_tome", lambda: sd15_train_metrics(batch=SD_TRAIN_BATCH,
+    # ToMe halves the S=4096 activations, so the composed config trains at a
+    # larger batch than plain SD (round-5 sweep: b16 38.1% / b24 38.4% /
+    # b32 39.1% MFU; noremat b16 33.8% — remat+b32 is the measured best)
+    soft("sd15_train_tome", lambda: sd15_train_metrics(batch=SD_TRAIN_TOME_BATCH,
                                                        tome_ratio=0.5))
     soft("sd15_lora_train", sd15_lora_train_metrics)
     soft("dit_train", lambda: dit_train_metrics(batch=DIT_TRAIN_BATCH))
     soft("mmdit_train", mmdit_train_metrics)
+    soft("mmdit_sample", mmdit_sample)
 
     payload = {
         "metric": "DDIM-50 SD1.5 512x512 sampling throughput",

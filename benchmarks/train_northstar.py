@@ -57,7 +57,8 @@ def sd15_train_metrics(batch: int = 8, reps: int = 3,
     """``tome_ratio>0`` trains THROUGH Token Merging (differentiable — the
     indices are compile-time constants): merged self-attention at the 64x64
     level composes with the flash_small_d training kernel at S=2048
-    (round-5 chip measurement: 27.4 -> 31.75 img/s b16, 38.1% MFU)."""
+    (round-5 chip measurements: 27.4 -> 31.75 img/s b16 38.1% MFU, and the
+    halved activations admit larger batches — b32 32.5 img/s, 39.1% MFU)."""
     from dmtpu.diffusions import DDPM
     from dmtpu.models.stablediffusion.unet import SDUNetModel
     from dmtpu.parallel import TrainState, make_diffusion_loss_fn, make_train_step

@@ -399,6 +399,12 @@ if __name__ == "__main__":
         sd15(24, tome_ratio=0.5)
     if which == "sd32tome":
         sd15(32, tome_ratio=0.5)
+    if which == "sd48tome":
+        sd15(48, tome_ratio=0.5)
+    if which == "sd24":   # round 5: plain-train batch sweep post-flash_small_d
+        sd15(24)
+    if which == "sd32":
+        sd15(32)
     if which == "sd24attntome":
         sd15(24, remat="attn", tome_ratio=0.5)
     if which == "sd8attn":
