@@ -127,8 +127,10 @@ class FlowDPMSolver(FlowMatching):
             x0 = self._x0_step(model_fn, x, c, model_kwargs)
             d = c["dpm_c1"] * x0 + c["dpm_c2"] * prev_x0
             x_next = c["dpm_sigma_ratio"] * x + c["dpm_alpha_e"] * d
+            # x0 = x - u v with u > 0 on every current row, so the model's
+            # (possibly CFG-mixed) velocity is exactly recoverable
             outs = {"sample": x_next, "pred_x0": x0,
-                    "velocity": jnp.zeros_like(x_next)}
+                    "velocity": (x - x0) / c["u"]}
             return (x_next, x0), {k: outs[k] for k in collect}
 
         x0_init = jnp.zeros_like(init_noise, dtype=jnp.float32)

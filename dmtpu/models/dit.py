@@ -12,6 +12,7 @@ NHWC in/out; tokens are [B, T, D] and attention rides ``dmtpu.ops.attention``
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Optional
 
@@ -26,8 +27,17 @@ from dmtpu.ops.attention import flash_mha
 Array = jax.Array
 
 
-def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
-    """(reference: models/dit/model.py:276-325)"""
+@functools.lru_cache(maxsize=16)  # rebuilt per jit trace otherwise
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int,
+                            offset: int = 0) -> np.ndarray:
+    """(reference: models/dit/model.py:276-325)
+
+    ``offset`` shifts both axes to positions [offset, offset+grid_size) —
+    the embedding is per-position, so this equals the center crop of a
+    larger base table without materialising it (SD3 ``pos_embed_max_size``
+    convention; the base table for SD3-medium would be a ~450 MB f64
+    transient per trace).  Callers must not mutate the cached array.
+    """
 
     def get_1d(dim, pos):
         omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
@@ -35,8 +45,8 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
         out = np.einsum("m,d->md", pos.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    grid_h = np.arange(grid_size, dtype=np.float32)
-    grid_w = np.arange(grid_size, dtype=np.float32)
+    grid_h = np.arange(offset, offset + grid_size, dtype=np.float32)
+    grid_w = np.arange(offset, offset + grid_size, dtype=np.float32)
     grid = np.stack(np.meshgrid(grid_w, grid_h), axis=0).reshape(2, 1, grid_size, grid_size)
     emb_h = get_1d(embed_dim // 2, grid[0])
     emb_w = get_1d(embed_dim // 2, grid[1])

@@ -246,10 +246,10 @@ class MMDiT(nn.Module):
             if grid > ms:
                 raise ValueError(f"input grid {grid} exceeds "
                                  f"pos_embed_max_size {ms}")
-            full = get_2d_sincos_pos_embed(self.hidden_size, ms)
-            full = full.reshape(ms, ms, self.hidden_size)
             top = (ms - grid) // 2
-            crop = full[top:top + grid, top:top + grid]
+            # per-position embedding: build ONLY the cropped window (the
+            # full SD3-medium base table would be a ~450 MB f64 transient)
+            crop = get_2d_sincos_pos_embed(self.hidden_size, grid, offset=top)
             pos = jnp.asarray(crop.reshape(1, grid * grid, self.hidden_size),
                               jnp.float32)
         else:

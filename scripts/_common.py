@@ -33,19 +33,16 @@ def train_dotlist(unknown):
     """Dotlist from a trainer's unknown args (shared by all train_*.py).
 
     Accepts ``--key=value``/``key=value``, or ``key value`` pairs (the
-    trainers' historical form), including a mixture of both: each ``=``
-    token passes through on its own and dash-less tokens pair up.  A ``=``
-    token arriving mid-pair (``['lr', 'a=b', '0.1']``) is ambiguous and
-    aborts loudly, as does a dangling key with no value.
+    trainers' historical form), including a mixture of both: a ``=`` token
+    with no key pending passes through on its own; one arriving right after
+    an unpaired key is that key's VALUE (``['train.tag', 'run=5']`` →
+    ``train.tag=run=5``, the historical pairing).  A dangling key with no
+    value aborts loudly.
     """
     unknown = [(a[2:] if a.startswith("--") else a) for a in unknown]
     out, pending = [], []
     for a in unknown:
-        if "=" in a:
-            if pending:
-                raise SystemExit(
-                    f"cannot mix override forms: {a!r} follows the unpaired "
-                    f"token {pending[0]!r} (use key=value or key value pairs)")
+        if "=" in a and not pending:
             out.append(a)
         else:
             pending.append(a)

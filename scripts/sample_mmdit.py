@@ -102,8 +102,16 @@ def _conditioning(args, conf, model, logger):
     if args.embeddings is not None:
         data = dict(np.load(args.embeddings))
         ctx, pool = np.asarray(data["context"]), np.asarray(data["pooled"])
+        # ranks are independent: context may be [L,Dc] or [N,L,Dc] and
+        # pooled [Dp] or [N,Dp] in any combination
         if ctx.ndim == 2:
-            ctx, pool = ctx[None], pool[None]
+            ctx = ctx[None]
+        if pool.ndim == 1:
+            pool = pool[None]
+        if ctx.shape[0] != pool.shape[0]:
+            raise SystemExit(
+                f"--embeddings row-count mismatch: context has "
+                f"{ctx.shape[0]} rows, pooled {pool.shape[0]}")
         return ctx.astype(np.float32), pool.astype(np.float32)
     if args.class_idx is not None:
         ds = instantiate_from_config(conf.data)
@@ -167,10 +175,17 @@ def main():
     if args.time_shift is not None:
         dparams["time_shift"] = args.time_shift
     gs = args.guidance_scale
-    if dparams.get("solver") == "dpm":
+    # solver precedence: CLI --solver > params.solver > the config's
+    # diffusion.target class (a FlowDPMSolver[CFG] target with no solver
+    # param must not silently degrade to first-order Euler)
+    solver = dparams.get("solver")
+    if solver is None and "FlowDPM" in str(conf.diffusion.get("target", "")):
+        solver = "dpm"
+    if solver == "dpm":
         cls = FlowDPMSolverCFG if gs != 1.0 else FlowDPMSolver
     else:
         cls = FlowMatchingCFG if gs != 1.0 else FlowMatching
+    dparams.pop("guidance_scale", None)  # CLI -s owns the scale
     if gs != 1.0:
         diffuser = cls(guidance_scale=gs, **dparams)
     else:

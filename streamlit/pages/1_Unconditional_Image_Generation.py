@@ -25,10 +25,21 @@ CONFIG = os.environ.get("DMTPU_CONFIG", "configs/ddpm_cifar10.yaml")
 WEIGHTS = os.environ.get("DMTPU_WEIGHTS")
 # optional: directory scanned into a Model dropdown (reference :141-148)
 WEIGHTS_DIR = os.environ.get("DMTPU_WEIGHTS_DIR")
+
+@st.cache_resource(max_entries=1)  # streamlit reruns the page per widget
+def _load_conf():
+    return load_config(CONFIG)
+
+
 # A flow/velocity-trained checkpoint and an eps-trained one are not
 # sampler-interchangeable (same gate as webui/app.py): offer only the
 # family matching the config's diffusion target.
-IS_FLOW = "flow" in str(load_config(CONFIG).diffusion.get("target", "")).lower()
+try:
+    IS_FLOW = "flow" in str(_load_conf().diffusion.get("target", "")).lower()
+except Exception as e:  # bad DMTPU_CONFIG: a UI error beats a raw traceback
+    st.error(f"cannot read config {CONFIG!r}: {e}")
+    st.stop()
+    raise
 SAMPLERS = ({"flow": FlowMatching, "flowdpm": FlowDPMSolver} if IS_FLOW else
             {"ddpm": DDPM, "ddim": DDIM, "euler": EulerSampler,
              "heun": HeunSampler, "dpmpp": DPMSolverPP, "pfdiff": PFDiffDDIM})
@@ -36,7 +47,7 @@ SAMPLERS = ({"flow": FlowMatching, "flowdpm": FlowDPMSolver} if IS_FLOW else
 
 @st.cache_resource(max_entries=1)  # one resident weight tree (16 GB HBM)
 def load_model(weights_path=None):
-    conf = load_config(CONFIG)
+    conf = _load_conf()
     model = instantiate_from_config(conf.model)
     sys.path.append(os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)))), "scripts"))

@@ -140,6 +140,9 @@ def test_cropped_pos_embed_convention():
     full = get_2d_sincos_pos_embed(32, 8).reshape(8, 8, 32)
     crop = full[2:6, 2:6].reshape(16, 32)
     assert not np.allclose(crop, get_2d_sincos_pos_embed(32, 4))
+    # the offset window equals the center crop WITHOUT materialising the
+    # base table (round-5 review fix: SD3-medium's base is ~450 MB f64)
+    np.testing.assert_array_equal(crop, get_2d_sincos_pos_embed(32, 4, offset=2))
 
     x = jnp.asarray(np.random.RandomState(5).randn(1, 8, 8, 4), jnp.float32)
     y = {"context": jnp.zeros((1, 5, 16)), "pooled": jnp.zeros((1, 12))}

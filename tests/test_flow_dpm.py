@@ -116,6 +116,24 @@ def test_partial_entry_restarts_first_order(x_init):
     assert ys["sample"].shape[0] == 11
 
 
+def test_collect_velocity_is_model_velocity(x_init):
+    """collect=('velocity',) must return the model's velocity at every step
+    (round-5 review finding: it silently returned zeros), matching the
+    collect contract of every other flow sampler."""
+    model = _gaussian_velocity(0.8)
+    fm = FlowDPMSolver(total_steps=1000, respace_steps=8)
+    _, ys = fm.sample_loop(model, x_init, jax.random.PRNGKey(0),
+                           collect=("sample", "velocity"))
+    tape = fm.sampler_tape()
+    x = x_init
+    for i, u in enumerate(tape["u"]):
+        t = jnp.full((x.shape[0],), float(u) * 1000.0)
+        np.testing.assert_allclose(np.asarray(ys["velocity"][i]),
+                                   np.asarray(model(x, t)),
+                                   rtol=2e-4, atol=2e-4)
+        x = ys["sample"][i]
+
+
 def test_cfg_scale_one_equals_cond_only(x_init):
     """s=1: (1-s) v_uncond + s v_cond == v_cond — CFG must reduce to the
     plain solver on the conditional branch."""

@@ -203,11 +203,14 @@ def test_train_dotlist_shared_helper():
     # (advisor round-4 finding: ['a=b','lr','0.1'] used to mis-pair)
     assert train_dotlist(["a=b", "lr", "0.1"]) == ["a=b", "lr=0.1"]
     assert train_dotlist(["lr", "0.1", "--a=b"]) == ["lr=0.1", "a=b"]
+    # a '='-containing token right after an unpaired key is that key's
+    # VALUE (historical pair form: values may contain '=')
+    assert train_dotlist(["train.tag", "run=5"]) == ["train.tag=run=5"]
     import pytest
-    with pytest.raises(SystemExit):  # '=' token mid-pair is ambiguous
-        train_dotlist(["lr", "a=b", "0.1"])
     with pytest.raises(SystemExit):  # dangling key with no value
         train_dotlist(["a=b", "lr"])
+    with pytest.raises(SystemExit):  # ...including after a value pairing
+        train_dotlist(["lr", "a=b", "0.1"])
 
 
 def test_pre_only_last_block_param_shapes():

@@ -136,6 +136,58 @@ def test_embeddings_npz_and_npz_weights(tmp_path, monkeypatch):
     assert len(os.listdir(out)) == 3
 
 
+def test_embeddings_rank_combinations(tmp_path, monkeypatch):
+    """context/pooled ranks are independent ([L,Dc]+[1,Dp] works); a row
+    count mismatch aborts loudly instead of dying inside the pooled MLP
+    (round-5 review finding)."""
+    cfg = _write_conf(tmp_path)
+    rs = np.random.RandomState(0)
+    emb = tmp_path / "emb.npz"
+    np.savez(emb, context=rs.randn(4, 8), pooled=rs.randn(1, 8))
+    out = tmp_path / "out"
+    _run_sample(monkeypatch, ["-c", cfg, "--embeddings", str(emb),
+                              "--save_dir", str(out), "--n_samples", "2",
+                              "--batch_size", "2"])
+    assert len(os.listdir(out)) == 2
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, context=rs.randn(2, 4, 8), pooled=rs.randn(8))
+    with pytest.raises(SystemExit, match="row-count mismatch"):
+        _run_sample(monkeypatch, ["-c", cfg, "--embeddings", str(bad),
+                                  "--save_dir", str(tmp_path / "o2"),
+                                  "--n_samples", "1", "--batch_size", "1"])
+
+
+def test_flowdpm_target_selects_dpm_solver(tmp_path, monkeypatch):
+    """A config whose diffusion.target IS FlowDPMSolverCFG (no solver param)
+    must sample with FlowDPM, not silently degrade to first-order Euler
+    (round-5 review finding); a config-params guidance_scale must not
+    collide with the CLI's."""
+    import sample_mmdit
+
+    cfg = _write_conf(tmp_path, extra="")
+    text = open(cfg).read().replace(
+        "target: diffusions.flow.FlowMatching",
+        "target: diffusions.flow_dpm.FlowDPMSolverCFG").replace(
+        "params: {total_steps: 1000, respace_steps: 3}",
+        "params: {total_steps: 1000, respace_steps: 3, guidance_scale: 3.0}")
+    open(cfg, "w").write(text)
+    built = {}
+    real = sample_mmdit.FlowDPMSolverCFG
+
+    class Spy(real):
+        def __init__(self, *a, **k):
+            built["guidance_scale"] = k.get("guidance_scale")
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(sample_mmdit, "FlowDPMSolverCFG", Spy)
+    out = tmp_path / "out"
+    _run_sample(monkeypatch, ["-c", cfg, "--prompt", "demo",
+                              "--save_dir", str(out), "--n_samples", "1",
+                              "--batch_size", "1", "--guidance_scale", "2.0"])
+    assert built == {"guidance_scale": 2.0}  # dpm route + CLI scale wins
+    assert len(os.listdir(out)) == 1
+
+
 def test_sd3_torch_convert_then_sample(tmp_path, monkeypatch):
     """SD3-layout torch checkpoint -> convert_checkpoint.py -> npz ->
     sample_mmdit: the real-weights landing path, end to end."""

@@ -16,6 +16,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _run_main(argv):
+    # train_sd.py does `from _common import ...` at call time; a CLI run has
+    # scripts/ as sys.path[0], a by-path import here does not (order-
+    # independence: don't rely on an earlier test having inserted it)
+    if os.path.join(REPO, "scripts") not in sys.path:
+        sys.path.insert(0, os.path.join(REPO, "scripts"))
     spec = importlib.util.spec_from_file_location(
         "train_sd_cli", os.path.join(REPO, "scripts", "train_sd.py"))
     mod = importlib.util.module_from_spec(spec)
