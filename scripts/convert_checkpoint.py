@@ -67,6 +67,28 @@ def main():
         init = jax.eval_shape(model.init, jax.random.PRNGKey(0), x,
                               jnp.zeros((1,)), y)
         params = convert_mmdit(sd, init)
+        # the single-file SD3 release bundles the 16-channel VAE under
+        # first_stage_model.*; extract it to <out>_vae.npz so
+        # sample_mmdit --vae_weights can decode (same structural path as
+        # dmtpu/convert/sd.py uses for SD1.5's first_stage_model)
+        if conf.get("vae") and any(k.startswith("first_stage_model.")
+                                   for k in sd):
+            from dmtpu.convert.sd import _strip
+
+            vae = instantiate_from_config(conf.vae)
+            vae_init = jax.eval_shape(
+                vae.init, jax.random.PRNGKey(0),
+                jnp.zeros((1, 32, 32, vae.in_channels)),
+                jax.random.PRNGKey(1))  # posterior-sample rng
+            vae_params = convert_by_structure(
+                _strip(sd, "first_stage_model."), vae_init)
+            vout = os.path.splitext(args.out)[0] + "_vae.npz"
+            np.savez(vout, params=np.asarray(
+                jax.tree.map(lambda a: np.asarray(a), vae_params),
+                dtype=object))
+            nv = sum(int(np.prod(np.shape(a)))
+                     for a in jax.tree.leaves(vae_params))
+            logger.info(f"Wrote {vout}: {nv / 1e6:.1f}M VAE params")
     elif args.uncond_weights is not None:
         from dmtpu.convert.zoo import combine_adm_weights
 

@@ -230,6 +230,67 @@ def test_sd3_torch_convert_then_sample(tmp_path, monkeypatch):
     assert len(os.listdir(out)) == 2
 
 
+def test_sd3_bundled_vae_extraction(tmp_path, monkeypatch):
+    """The single-file SD3 release bundles the VAE under first_stage_model.*:
+    convert_checkpoint must extract it to <out>_vae.npz (against the
+    config's vae block) and sample_mmdit --vae_weights must decode with it."""
+    import torch
+
+    from tests.conftest import require_reference
+    require_reference()
+    from models.stablediffusion.autoencoder import AutoEncoderKL as RefVAE
+
+    from dmtpu.models.mmdit import MMDiT
+    from tests.test_convert_mmdit import _to_sgm
+
+    vae_extra = """
+vae:
+  target: models.stablediffusion.autoencoder.AutoEncoderKL
+  params: {ch: 32, ch_mult: [1, 2], num_res_blocks: 1, z_channels: 3,
+           embed_dim: 3, resolution: 16, attn_resolutions: []}
+  scale_factor: 1.0
+  shift_factor: 0.0
+"""
+    cfg = _write_conf(tmp_path, extra=vae_extra)
+    m = MMDiT(input_size=8, patch_size=2, in_channels=3, hidden_size=32,
+              depth=2, num_heads=2, context_dim=8, pooled_dim=8)
+    y = {"context": jnp.zeros((1, 4, 8)), "pooled": jnp.zeros((1, 8))}
+    params = m.init(jax.random.PRNGKey(7), jnp.zeros((1, 8, 8, 3)),
+                    jnp.zeros((1,)), y)
+    sd = {f"model.diffusion_model.{k}": torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in _to_sgm(params).items()
+          # drop _to_sgm's sentinel extras: this test bundles a REAL vae
+          if not k.startswith(("first_stage_model.", "text_encoders."))}
+    torch.manual_seed(0)
+    ref_vae = RefVAE(embed_dim=3, z_channels=3, resolution=16, in_channels=3,
+                     out_ch=3, ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                     attn_resolutions=[])
+    sd.update({f"first_stage_model.{k}": v
+               for k, v in ref_vae.state_dict().items()})
+    ckpt = tmp_path / "sd3_tiny.pt"
+    torch.save({"state_dict": sd}, ckpt)
+
+    import convert_checkpoint
+
+    out_npz = tmp_path / "sd3.npz"
+    monkeypatch.setattr(sys, "argv", ["convert_checkpoint.py", "-c", cfg,
+                                      "--weights", str(ckpt),
+                                      "--out", str(out_npz)])
+    convert_checkpoint.main()
+    vae_npz = tmp_path / "sd3_vae.npz"
+    assert out_npz.is_file() and vae_npz.is_file()
+
+    out = tmp_path / "out"
+    emb = tmp_path / "emb.npz"
+    rs = np.random.RandomState(1)
+    np.savez(emb, context=rs.randn(4, 8), pooled=rs.randn(8))
+    _run_sample(monkeypatch, ["-c", cfg, "--weights", str(out_npz),
+                              "--vae_weights", str(vae_npz),
+                              "--embeddings", str(emb), "--save_dir", str(out),
+                              "--n_samples", "1", "--batch_size", "1"])
+    assert os.listdir(out) == ["0.png"]
+
+
 def test_vae_decode_hook(tmp_path, monkeypatch):
     """A config with a vae section decodes sampled latents before saving."""
     vae_extra = """
