@@ -10,6 +10,7 @@ Usage:
         [--vae-weights VAE.bin] [--text-encoder-weights TE.bin]
 """
 import argparse
+import json
 import os
 import sys
 
@@ -26,6 +27,51 @@ import numpy as np  # noqa: E402
 from dmtpu.convert import convert_by_structure, load_torch_weights  # noqa: E402
 from dmtpu.utils.config import instantiate_from_config, load_config  # noqa: E402
 from dmtpu.utils.logger import get_logger  # noqa: E402
+
+
+def extract_clip_tower(sd, name: str):
+    """``text_encoders.<name>.*`` -> (flax CLIPTextTransformer params, cfg).
+
+    Layout auto-detected (HF ``text_model.`` or open_clip ``resblocks.``
+    fused-in_proj — the two sub-layouts seen in single-file releases);
+    tower dimensions are INFERRED from the tensors so any size converts.
+    Returns None when the checkpoint carries no such tower.
+    """
+    from dmtpu.convert.sd import (_strip, hf_clip_text_strip,
+                                  openclip_text_to_hf)
+    from dmtpu.models.stablediffusion.text_encoders import CLIPTextTransformer
+
+    tower = _strip(sd, f"text_encoders.{name}.")
+    if not tower:
+        return None
+    if any(".resblocks." in k for k in tower):
+        # open_clip layout: resblocks live under transformer.* but the
+        # embeddings/ln_final/text_projection are TOP-level — the rewriter
+        # handles both, so no prefix strip here
+        tower = openclip_text_to_hf(tower)
+    else:
+        if any(k.startswith("transformer.") for k in tower):
+            tower = _strip(tower, "transformer.")
+        tower = hf_clip_text_strip(tower)
+    if "text_projection.weight" in tower:  # HF-with-projection: [proj, width]
+        tower["text_projection"] = np.asarray(
+            tower.pop("text_projection.weight")).T
+    emb = tower["embeddings.token_embedding.weight"]
+    layers = 1 + max(int(k.split("encoder.layers.")[1].split(".")[0])
+                     for k in tower if k.startswith("encoder.layers."))
+    width = int(emb.shape[1])
+    cfg = dict(width=width, layers=layers, vocab_size=int(emb.shape[0]),
+               heads=max(1, width // 64),
+               act="quick_gelu" if name == "clip_l" else "gelu")
+    if "text_projection" in tower:
+        cfg["projection_dim"] = int(np.shape(tower["text_projection"])[-1])
+    max_length = int(tower["embeddings.position_embedding.weight"].shape[0])
+    model = CLIPTextTransformer(max_length=max_length, **cfg)
+    init = jax.eval_shape(
+        lambda r, ids: model.init(r, ids, output_layer="penultimate-nonorm",
+                                  return_pooled=True),
+        jax.random.PRNGKey(0), jnp.zeros((1, max_length), jnp.int32))
+    return convert_by_structure(tower, init), dict(cfg, max_length=max_length)
 
 
 def main():
@@ -89,6 +135,21 @@ def main():
             nv = sum(int(np.prod(np.shape(a)))
                      for a in jax.tree.leaves(vae_params))
             logger.info(f"Wrote {vout}: {nv / 1e6:.1f}M VAE params")
+        # 'incl_clips' SD3 release variants also bundle the CLIP towers
+        # under text_encoders.{clip_l,clip_g}.* — extract them to the
+        # tower .npz files scripts/encode_prompts.py consumes.  (T5-XXL is
+        # not extracted: FrozenT5Embedder loads HF checkpoint DIRS.)
+        for tname in ("clip_l", "clip_g"):
+            res = extract_clip_tower(sd, tname)
+            if res is None:
+                continue
+            t_params, t_cfg = res
+            tout = os.path.splitext(args.out)[0] + f"_{tname}.npz"
+            np.savez(tout,
+                     params=np.asarray(jax.tree.map(np.asarray, t_params),
+                                       dtype=object),
+                     config=json.dumps(t_cfg))
+            logger.info(f"Wrote {tout} ({t_cfg})")
     elif args.uncond_weights is not None:
         from dmtpu.convert.zoo import combine_adm_weights
 

@@ -153,6 +153,25 @@ def _load_npz_params(path):
     return jax.tree.map(jnp.asarray, data["params"].item())
 
 
+def load_tower(path, fallback_cfg: str, max_length: int):
+    """Tower .npz -> (CLIPTextTransformer, params).  convert_checkpoint's
+    extraction embeds the inferred tower config (width/layers/projection);
+    fall back to the named preset for hand-built npz files."""
+    import json
+
+    from dmtpu.models.stablediffusion.text_encoders import (
+        CLIP_TEXT_CONFIGS, CLIPTextTransformer)
+
+    data = dict(np.load(path, allow_pickle=True))
+    params = jax.tree.map(jnp.asarray, data["params"].item())
+    if "config" in data:
+        cfg = json.loads(str(data["config"]))
+        ml = cfg.pop("max_length", max_length)
+    else:
+        cfg, ml = dict(CLIP_TEXT_CONFIGS[fallback_cfg]), max_length
+    return CLIPTextTransformer(max_length=ml, **cfg), params
+
+
 def main():
     args = get_parser().parse_args()
     logger = get_logger()
@@ -178,11 +197,17 @@ def main():
         clip_l, clip_g, t5 = build_towers(args)
         clip_l.tokenizer = clip_g.tokenizer = \
             CLIPTokenizer.from_pretrained(args.clip_tokenizer)
-        ctx, pool = encode_real(
-            prompts, clip_l, clip_g, t5,
-            _load_npz_params(args.clip_l_weights),
-            _load_npz_params(args.clip_g_weights),
-            context_dim=args.context_dim)
+        # honor the tower config convert_checkpoint embedded (a projected
+        # clip_l / non-preset width would otherwise shape-mismatch)
+        clip_l.model, l_params = load_tower(args.clip_l_weights, "clip-vit-l",
+                                            args.max_length)
+        clip_g.model, g_params = load_tower(args.clip_g_weights,
+                                            "open-clip-vit-bigg",
+                                            args.max_length)
+        clip_l.max_length = clip_l.model.max_length
+        clip_g.max_length = clip_g.model.max_length
+        ctx, pool = encode_real(prompts, clip_l, clip_g, t5, l_params,
+                                g_params, context_dim=args.context_dim)
         ctx, pool = np.asarray(ctx, np.float32), np.asarray(pool, np.float32)
         logger.info(f"encoded {len(prompts)} prompt(s) through the towers"
                     + (" (T5 zero-filled)" if t5 is None else ""))
